@@ -1,0 +1,26 @@
+"""recommendations_tpu — a TPU-native sequence-recommendation framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+``ranjanbalappa-nykaa/recommendations`` (the reference), redesigned TPU-first:
+
+- SPMD over a ``jax.sharding.Mesh`` (data / model / expert axes) instead of
+  Ray + torch DDP (reference ``commons/training_strategy/accelerate_training_strategy.py``).
+- bf16 compute policy instead of AMP autocast.
+- Functional, jit-compiled train steps with in-step collectives instead of
+  NCCL all-reduce.
+- Row-sharded embedding tables with ICI collectives (a capability the
+  reference only approximates via hash-compression).
+
+64-bit integers are enabled globally: the feature-hashing contract
+(xxh64(value) - 2**63, see reference ``commons/feature_utils.py:40-46``)
+produces IDs spanning the full int64 range, and all on-device hash math
+(KShift bit rotations, remainder hashing) must preserve them.  Float dtypes
+are always explicit in this codebase, so enabling x64 does not leak float64
+into the compute path.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

@@ -1,0 +1,138 @@
+"""Trainer / dataset / eval / export / inference / data-loader configs.
+
+Pydantic rebuild of reference ``commons/configs/trainer_config.py`` and
+``commons/configs/data_loader_config.py`` with the same knobs: date-windowed
+dataset selection, export gating (best-loss factor, after-k-steps), KNN-eval
+parameters, reader parallelism.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Dict, List, Optional
+
+from pydantic import BaseModel, ConfigDict, model_validator
+
+
+class FileSystemKind(str, enum.Enum):
+    LOCAL = "local"
+    DBFS = "dbfs"
+    S3 = "s3"
+    FAKE = "fake"  # in-memory store for tests
+
+
+class FileSystemConfig(BaseModel):
+    kind: FileSystemKind
+    path_template: Optional[str] = None
+
+    # dbfs
+    dbfs_base: Optional[str] = None
+    # s3
+    s3_bucket_path: Optional[str] = None
+    # local
+    local_dir_prefix: Optional[str] = None
+    local_path_template: Optional[str] = None
+
+    @model_validator(mode="after")
+    def _check(self):
+        if self.kind == FileSystemKind.DBFS and self.dbfs_base is None:
+            raise ValueError("dbfs_base must be specified for DBFS filesystem")
+        if self.kind == FileSystemKind.S3 and self.s3_bucket_path is None:
+            raise ValueError("s3_bucket_path must be specified for S3 filesystem")
+        if self.kind == FileSystemKind.LOCAL and self.local_dir_prefix is None:
+            raise ValueError("local_dir_prefix must be specified for local filesystem")
+        return self
+
+
+class TrainDatasetConfig(BaseModel):
+    filesystem_config: FileSystemConfig
+    exclude_dates: List[str] = []
+    train_data_ratio: float = 1.0
+    val_data_ratio: float = 1.0
+    extra_day_val_data_ratio: float = 1.0
+    train_data_end_date: str = ""
+    train_period_in_days: int = 1
+    val_data_start_date: str = ""
+    val_period_in_days: int = 1
+    extra_day_val_data_start_date: Optional[str] = None
+    extra_day_val_period_in_days: int = 1
+    path_glob_train: str = ""
+    path_glob_test: str = ""
+
+
+class ModelInferenceConfig(BaseModel):
+    num_workers: int = 1
+    max_num_batches: Optional[int] = None
+    skip_inference: bool = False
+    inference_batch_size: int = 32
+
+
+class ModelEvalConfig(BaseModel):
+    num_workers: int = 1
+    skip_eval: bool = False
+    eval_batch_size: int = 32
+    predict: bool = False
+    compute_feature_importance: bool = False
+    feature_importance_steps: int = 1
+    max_eval_steps: int = 100
+    # KNN retrieval eval (reference configures, never implements;
+    # implemented in recommendations_tpu/pipeline/knn_eval.py)
+    skip_knn_eval: bool = True
+    knn_top_k_list: List[int] = [1, 5, 10, 20, 100, 200]
+    knn_max_query_batches_per_worker: Optional[int] = None
+    inference_results_path: Optional[str] = None
+
+
+class ModelExportConfig(BaseModel):
+    trace: bool = False
+    filesystem_config: FileSystemConfig
+    path_prefix: str = "export"
+    export_config_str: bool = True
+    export_inference_config: bool = False
+    export_index_config: bool = False
+    export_if_loss_within_factor_of_best_model: Optional[float] = None
+    best_model_after_k_steps: Optional[int] = None
+
+
+class ModelTrainConfig(BaseModel):
+    num_workers: int = 1  # hosts; devices come from the mesh
+    use_gpu: bool = False  # retained for config parity; TPU build ignores it
+    batch_size: int = 32  # per-host macro batch
+    train_steps: int = 1000
+    validation_steps: int = 0
+    epochs: int = 1
+    learning_rate: float = 0.001
+    train_metrics_every_n_steps: int = 10
+    val_metrics_every_n_steps: int = 100
+    gradient_clip_norm: Optional[float] = None
+    gradient_clip_value: Optional[float] = None
+    sparse_learning_rate: float = 0.25
+    weight_decay: Optional[float] = None
+    optimizer_clazz: Optional[str] = None  # e.g. "optax.adamw"
+    optimizer_kwargs: Optional[Dict[str, Any]] = None
+    lr_scheduler_clazz: Optional[str] = None  # e.g. "optax.cosine_decay_schedule"
+    lr_scheduler_kwargs: Optional[Dict[str, Any]] = None
+    lr_scheduler_step_size: int = 100
+    gradient_accumulation_steps: Optional[int] = None
+    skip_train: bool = False
+    checkpoint_every_k_steps: Optional[int] = None
+    cache_every_k_val_batch: int = 40
+    distributed_process_group_timeout_s: int = 1800
+
+
+class DataLoaderKind(str, enum.Enum):
+    SIMPLE = "simple"
+
+
+class DataLoaderConfig(BaseModel):
+    kind: DataLoaderKind = DataLoaderKind.SIMPLE
+    block_size: int = 1
+    max_prefetch: int = 2
+    max_readers: int = 1
+    shuffle_files: bool = True
+    shuffle_data: bool = False
+    mini_batch_size: int = 32
+    shuffle_buffer_num_mini_batches: int = 0
+    macro_batches_multiples: int = 1
+    pin_memory: bool = False  # parity knob; no-op on TPU
+    bypass_dataloader: bool = False

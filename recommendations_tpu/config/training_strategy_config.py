@@ -1,0 +1,52 @@
+"""Training-strategy configs + registry.
+
+Rebuild of reference ``commons/configs/training_strategy_config.py``.  The
+reference's 'accelerate' (Ray + DDP) strategy maps to the TPU-native 'pjit'
+strategy: one process per host, a device mesh, a jit-compiled train step with
+in-step collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from pydantic import BaseModel, ConfigDict
+
+training_strategy_registry: Dict[str, type] = {}
+
+
+class TrainingStrategyConfig(BaseModel):
+    model_config = ConfigDict(extra="allow", protected_namespaces=())
+
+    name: str
+
+    @classmethod
+    def __pydantic_init_subclass__(cls, **kwargs: Any) -> None:
+        super().__pydantic_init_subclass__(**kwargs)
+        name = cls.model_fields["name"].default
+        if name is None:
+            raise ValueError(f"'name' default required on {cls}")
+        training_strategy_registry[name] = cls
+
+
+class PjitTrainingStrategyConfig(TrainingStrategyConfig):
+    """Mesh-parallel jit training (replaces reference 'accelerate')."""
+
+    name: str = "pjit"
+    # 'no' keeps f32 activations; 'bf16' is the TPU-native mixed precision
+    # (reference AMP knob, accelerate_training_strategy.py:157).
+    precision: str = "bf16"
+    # mesh shape; data=-1 → all remaining devices
+    mesh_data: int = -1
+    mesh_model: int = 1
+    mesh_expert: int = 1
+    # donate the train-state buffers to the step (in-place updates on device)
+    donate_state: bool = True
+    timeout: int = 300
+
+
+class SingleDeviceTrainingStrategyConfig(TrainingStrategyConfig):
+    """Degenerate 1-chip mesh (replaces reference 'one_gpu' stub)."""
+
+    name: str = "single_device"
+    precision: str = "bf16"

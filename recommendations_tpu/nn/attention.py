@@ -1,0 +1,184 @@
+"""Attention layers: multi-head / multi-query with relative position bias.
+
+Re-design of reference ``commons/transformers/layers.py:13-61,202-265``.
+TPU-first choices:
+- QK logits and softmax accumulate in float32 while projections run in the
+  compute dtype (bf16) — the MXU consumes bf16 operands, the VPU reduces in
+  f32.
+- Masks are additive float32 biases built once per static sequence length; no
+  data-dependent shapes.
+- The reference's peculiar dropout — multiplicative ``(B,1,T,1)`` masks on
+  q/k/v rather than on attention weights (``transformers/layers.py:222-229``)
+  — is preserved: it is *token* dropout, which matters for its regularization
+  effect on behavior sequences.
+- A Pallas flash-attention kernel (``recommendations_tpu/ops/flash_attention``)
+  can be swapped in via ``use_flash`` for long sequences.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # additive-mask value; safe in f32 softmax, avoids NaN of true -inf
+
+
+def causal_mask(seq_len: int) -> jnp.ndarray:
+    """(1, 1, S, S) additive causal mask (0 keep / NEG_INF drop).
+
+    Reference builds this inline per forward (``transformers/layers.py:397-410``);
+    here it is a trace-time constant.
+    """
+    tri = jnp.tril(jnp.ones((seq_len, seq_len), dtype=bool))
+    return jnp.where(tri, 0.0, NEG_INF).astype(jnp.float32)[None, None, :, :]
+
+
+class RelativePositionBias(nn.Module):
+    """Learned (nq+nk+1, nh) bucket table indexed by q-k+nk.
+
+    Reference ``commons/transformers/layers.py:13-35``.
+    """
+
+    nq: int
+    nk: int
+    nh: int
+
+    @nn.compact
+    def __call__(self, qk: jnp.ndarray) -> jnp.ndarray:
+        nq, nk = qk.shape[-2], qk.shape[-1]
+        if nq > self.nq or nk > self.nk:
+            raise ValueError(f"({nq},{nk}) exceeds bias table ({self.nq},{self.nk})")
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.nq + self.nk + 1, self.nh), jnp.float32
+        )
+        pos_qk = jnp.arange(nq)[:, None] - jnp.arange(nk)[None, :] + nk  # (nq, nk)
+        bias_qk = jnp.take(bias, pos_qk, axis=0)  # (nq, nk, nh)
+        return qk + jnp.transpose(bias_qk, (2, 0, 1))[None]
+
+
+def _token_dropout_mask(rng, rate: float, batch: int, seq: int) -> jnp.ndarray:
+    """Inverted-dropout multiplicative mask of shape (B, 1, S, 1)."""
+    keep = jax.random.bernoulli(rng, 1.0 - rate, (batch, 1, seq, 1))
+    return keep.astype(jnp.float32) / (1.0 - rate)
+
+
+def _sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    pos_bias: Optional[nn.Module],
+) -> jnp.ndarray:
+    """Scaled dot-product attention with f32 logits/softmax.
+
+    q: (B, H, S, hd); k/v: (B, Hk, S, hd) with Hk ∈ {1, H} (MQA broadcasts).
+    """
+    head_dim = q.shape[-1]
+    if k.shape[1] != q.shape[1]:  # multi-query: one KV head shared by all H
+        k = jnp.broadcast_to(k, (*q.shape[:2], *k.shape[2:]))
+        v = jnp.broadcast_to(v, (*q.shape[:2], *v.shape[2:]))
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        q,
+        k,
+        preferred_element_type=jnp.float32,
+    ) / jnp.sqrt(jnp.float32(head_dim))
+    if pos_bias is not None:
+        logits = pos_bias(logits)
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+
+
+class _AttentionBase(nn.Module):
+    n_embd: int
+    n_head: int
+    attn_dropout: float = 0.0
+    dropout: float = 0.0
+    use_bias: bool = True
+    pos_bias_window: Optional[int] = None  # context_window incl. CLS, or None
+    dtype: Optional[jnp.dtype] = None
+
+    def _pos_bias(self) -> Optional[nn.Module]:
+        if self.pos_bias_window is None:
+            return None
+        return RelativePositionBias(
+            nq=self.pos_bias_window,
+            nk=self.pos_bias_window,
+            nh=self.n_head,
+            name="pos_bias",
+        )
+
+    def _qkv_dropout(self, b: int, t: int, deterministic: bool):
+        if deterministic or self.attn_dropout == 0.0:
+            one = jnp.ones((1, 1, 1, 1), jnp.float32)
+            return one, one, one
+        r = self.attn_dropout
+        return (
+            _token_dropout_mask(self.make_rng("dropout"), r, b, t),
+            _token_dropout_mask(self.make_rng("dropout"), r, b, t),
+            _token_dropout_mask(self.make_rng("dropout"), r, b, t),
+        )
+
+
+class MultiQueryAttention(_AttentionBase):
+    """H query heads sharing a single KV head.
+
+    Reference ``commons/transformers/layers.py:202-234``; the memory trick the
+    reference leans on for its 512-token context (``lthm.yaml:49``).
+    """
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, t, _ = x.shape
+        hd = self.n_embd // self.n_head
+        q = nn.Dense(self.n_embd, use_bias=self.use_bias, dtype=self.dtype, name="q_proj")(x)
+        kv = nn.Dense(2 * hd, use_bias=self.use_bias, dtype=self.dtype, name="kv_proj")(x)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        q_do, k_do, v_do = self._qkv_dropout(b, t, deterministic)
+        q = (q_do * jnp.transpose(q.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
+        k = (k_do * jnp.transpose(k.reshape(b, t, 1, hd), (0, 2, 1, 3))).astype(x.dtype)
+        v = (v_do * jnp.transpose(v.reshape(b, t, 1, hd), (0, 2, 1, 3))).astype(x.dtype)
+
+        y = _sdpa(q, k, v, mask, self._pos_bias())
+        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(b, t, self.n_embd)
+        y = nn.Dense(self.n_embd, use_bias=self.use_bias, dtype=self.dtype, name="out_proj")(y)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(y)
+
+
+class MultiHeadAttention(_AttentionBase):
+    """Fused-QKV multi-head attention — reference ``transformers/layers.py:237-265``."""
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, t, _ = x.shape
+        hd = self.n_embd // self.n_head
+        qkv = nn.Dense(3 * self.n_embd, use_bias=self.use_bias, dtype=self.dtype, name="c_attn")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        q_do, k_do, v_do = self._qkv_dropout(b, t, deterministic)
+        q = (q_do * jnp.transpose(q.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
+        k = (k_do * jnp.transpose(k.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
+        v = (v_do * jnp.transpose(v.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
+
+        y = _sdpa(q, k, v, mask, self._pos_bias())
+        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(b, t, self.n_embd)
+        y = nn.Dense(self.n_embd, use_bias=self.use_bias, dtype=self.dtype, name="c_proj")(y)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(y)

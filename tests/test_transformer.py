@@ -1,0 +1,136 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recommendations_tpu.nn import (
+    MultiHeadAttention,
+    MultiQueryAttention,
+    RelativePositionBias,
+    TransformerBlock,
+    TransformerStack,
+    MoELinear,
+    causal_mask,
+)
+from recommendations_tpu.nn.transformer import MoESpec
+
+
+def test_causal_mask():
+    m = np.asarray(causal_mask(4))[0, 0]
+    assert (m[np.tril_indices(4)] == 0).all()
+    assert (m[np.triu_indices(4, k=1)] < -1e8).all()
+
+
+def test_attention_parity_with_dense_reference():
+    """MHA vs an explicit per-head NumPy attention oracle."""
+    B, T, C, H = 2, 5, 16, 4
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C))
+    mod = MultiHeadAttention(n_embd=C, n_head=H, use_bias=False)
+    vs = mod.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(mod.apply(vs, x))
+
+    p = vs["params"]
+    W = np.asarray(p["c_attn"]["kernel"])  # (C, 3C)
+    xq = np.asarray(x)
+    qkv = xq @ W
+    q, k, v = np.split(qkv, 3, axis=-1)
+    hd = C // H
+
+    def split_heads(a):
+        return a.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = map(split_heads, (q, k, v))
+    logits = q @ k.transpose(0, 1, 3, 2) / np.sqrt(hd)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    y = (w @ v).transpose(0, 2, 1, 3).reshape(B, T, C)
+    want = y @ np.asarray(p["c_proj"]["kernel"])
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_mqa_causality():
+    """Perturbing a future token must not change past outputs under the
+    causal mask (multi-query attention, reference transformers/layers.py:202-234)."""
+    B, T, C, H = 1, 6, 8, 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C))
+    mod = MultiQueryAttention(n_embd=C, n_head=H)
+    vs = mod.init(jax.random.PRNGKey(0), x)
+    m = causal_mask(T)
+    y1 = np.asarray(mod.apply(vs, x, mask=m))
+    x2 = x.at[:, -1].add(10.0)
+    y2 = np.asarray(mod.apply(vs, x2, mask=m))
+    np.testing.assert_allclose(y1[:, :-1], y2[:, :-1], atol=1e-5)
+    assert np.abs(y1[:, -1] - y2[:, -1]).max() > 1e-4
+
+
+def test_relative_position_bias_indexing():
+    nq = nk = 3
+    mod = RelativePositionBias(nq=nq, nk=nk, nh=1)
+    qk = jnp.zeros((1, 1, nq, nk))
+    vs = mod.init(jax.random.PRNGKey(0), qk)
+    bias = np.arange(nq + nk + 1, dtype=np.float32).reshape(-1, 1)
+    out = np.asarray(mod.apply({"params": {"bias": jnp.asarray(bias)}}, qk))[0, 0]
+    pos = np.arange(nq)[:, None] - np.arange(nk)[None, :] + nk
+    np.testing.assert_allclose(out, bias[pos, 0])
+
+
+def test_transformer_block_causal_shapes():
+    B, T, C = 2, 7, 16
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C))
+    blk = TransformerBlock(n_embd=C, n_head=4, attn_type="multi_query", is_causal=True)
+    vs = blk.init(jax.random.PRNGKey(0), x)
+    assert blk.apply(vs, x).shape == (B, T, C)
+
+
+def test_moe_linear_matches_dense_expert_loop():
+    B, C, O, E, P = 3, 8, 6, 4, 5
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, C))
+    mod = MoELinear(out_features=O, proj_features=P, num_experts=E)
+    vs = mod.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(mod.apply(vs, x))
+    p = vs["params"]
+    gates = np.asarray(x) @ np.asarray(p["gate_out"]["kernel"]) + np.asarray(p["gate_out"]["bias"])
+    gates = gates / np.sqrt(C)
+    g = np.exp(gates - gates.max(-1, keepdims=True))
+    g = g / g.sum(-1, keepdims=True)
+    w1, b1 = np.asarray(p["w1"]), np.asarray(p["b1"])
+    w2, b2 = np.asarray(p["w2"]), np.asarray(p["b2"])
+    outs = []
+    for e in range(E):
+        h = np.asarray(x) @ w1[e] + b1[e]
+        h = 0.5 * h * (1 + np.tanh(np.sqrt(2 / np.pi) * (h + 0.044715 * h**3)))
+        outs.append(h @ w2[e] + b2[e])
+    want = (np.stack(outs, axis=1) * g[..., None]).sum(axis=1)
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sparse_block_passthrough_positions():
+    """Non-kept tokens take the null-connector bypass (reference
+    transformers/layers.py:417-419): output at skipped positions is
+    x + null(x) and independent of kept tokens."""
+    B, T, C = 1, 8, 8
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C))
+    blk = TransformerBlock(
+        n_embd=C, n_head=2, is_sparse_attn=True, max_block_size=T,
+        sparsity_factor=0.5, sparse_seed=0, n_cls=1,
+    )
+    vs = blk.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(blk.apply(vs, x))
+    from recommendations_tpu.nn.transformer import _sparse_keep_sets
+    idx, not_idx = _sparse_keep_sets(T, 0.5, 0, 1)
+    k = np.asarray(vs["params"]["null_connector"]["kernel"])
+    b = np.asarray(vs["params"]["null_connector"]["bias"])
+    want_skip = np.asarray(x)[:, not_idx] + (np.asarray(x)[:, not_idx] @ k + b)
+    np.testing.assert_allclose(out[:, not_idx], want_skip, rtol=1e-4, atol=1e-5)
+    assert 0 in idx  # CLS always kept
+
+
+def test_stack_remat_equivalence():
+    B, T, C = 2, 5, 16
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C))
+    kw = dict(num_layers=2, n_embd=C, n_head=4, is_causal=True, attn_type="multi_query")
+    s1 = TransformerStack(**kw, remat=False)
+    s2 = TransformerStack(**kw, remat=True)
+    vs = s1.init(jax.random.PRNGKey(0), x)
+    y1 = np.asarray(jax.jit(lambda v, a: s1.apply(v, a))(vs, x))
+    y2 = np.asarray(jax.jit(lambda v, a: s2.apply(v, a))(vs, x))
+    np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-6)
