@@ -19,8 +19,20 @@ are always explicit in this codebase, so enabling x64 does not leak float64
 into the compute path.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Some TPU plugin bootstraps override platform selection in-process at
+# interpreter start; re-apply the user's JAX_PLATFORMS choice so
+# `JAX_PLATFORMS=cpu python main_training.py ...` behaves as documented.
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
 
 __version__ = "0.1.0"

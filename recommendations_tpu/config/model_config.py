@@ -49,6 +49,15 @@ class ModelConfig(BaseModel, abc.ABC):
 
     @classmethod
     def resolve(cls, kind: str, name: str) -> type:
+        if not model_registry:
+            # model packages self-register on import
+            import importlib
+
+            for pkg in ("recommendations_tpu.models.lthm", "recommendations_tpu.models.ranker"):
+                try:
+                    importlib.import_module(pkg)
+                except ImportError:
+                    pass
         key = f"{kind}/{name}"
         if key in model_registry:
             return model_registry[key]

@@ -1,0 +1,124 @@
+"""Streaming dataset generator: path chunks → parquet → feature transforms.
+
+Rebuild of reference ``commons/data/simple_dataset_generator.py`` +
+``data_loader_strategy.py``: iterate path chunks, read each parquet, apply
+the per-kind data mapper, concat the chunk, optional row shuffle; reader
+sharding by ``chunk_index % num_shards == shard_id`` (the reference's torch
+DataLoader-worker sharding, ``simple_dataset_generator.py:46-50``).
+"""
+
+from __future__ import annotations
+
+import abc
+import logging
+from typing import Callable, Iterator, List, Optional
+
+import pandas as pd
+
+from recommendations_tpu.config.trainer_config import DataLoaderConfig, FileSystemConfig
+from recommendations_tpu.data.data_store import DataStoreAccessor
+from recommendations_tpu.data.paths import get_path_chunks
+
+logger = logging.getLogger(__name__)
+
+# data_mapper factory: kind ('train'|'val') -> (df -> df)
+DfMapperFnForKind = Callable[[str], Callable[[pd.DataFrame], pd.DataFrame]]
+
+
+class SimpleDatasetGenerator:
+    def __init__(
+        self,
+        kind: str,
+        worker_id: int,
+        paths: List[str],
+        block_size: int,
+        columns: List[str],
+        data_mapper: DfMapperFnForKind,
+        fs_config: FileSystemConfig,
+        shuffle_files: bool = True,
+        shuffle_data: bool = False,
+        seed: Optional[int] = None,
+    ):
+        self.kind = kind
+        self.worker_id = worker_id
+        self.columns = columns
+        self.data_mapper = data_mapper
+        self.fs_config = fs_config
+        self.shuffle_data = shuffle_data
+        self.path_chunks = get_path_chunks(paths, block_size, shuffle_files, seed)
+        self.shard_id: Optional[int] = None
+        self.num_shards: Optional[int] = None
+        self._seed = seed
+
+    def set_shard(self, shard_id: int, num_shards: int) -> None:
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+
+    @property
+    def filtered_path_chunks(self) -> List[List[str]]:
+        if self.shard_id is None:
+            return self.path_chunks
+        return [
+            c for i, c in enumerate(self.path_chunks) if i % self.num_shards == self.shard_id
+        ]
+
+    def __iter__(self) -> Iterator[pd.DataFrame]:
+        mapper = self.data_mapper(self.kind)
+        store = DataStoreAccessor.get_instance(self.fs_config)
+        for chunk in self.filtered_path_chunks:
+            dfs = []
+            for path in chunk:
+                df = store.read_single_parquet_file(path, columns=self.columns)
+                if df is None:
+                    continue
+                try:
+                    dfs.append(mapper(df))
+                except Exception:
+                    logger.exception("data mapper failed on %s", path)
+            if dfs:
+                df = pd.concat(dfs, axis=0)
+                if self.shuffle_data:
+                    yield df.sample(frac=1.0, random_state=self._seed)
+                else:
+                    yield df
+
+
+class DataLoaderStrategy(abc.ABC):
+    def __init__(
+        self,
+        data_loader_config: DataLoaderConfig,
+        columns: List[str],
+        data_mapper: DfMapperFnForKind,
+    ):
+        self.data_loader_config = data_loader_config
+        self.columns = columns
+        self.data_mapper = data_mapper
+
+    @abc.abstractmethod
+    def load(
+        self, kind: str, worker_id: int, paths: List[str], fs_config: FileSystemConfig
+    ) -> SimpleDatasetGenerator:
+        ...
+
+
+class SimpleDataLoaderStrategy(DataLoaderStrategy):
+    def load(self, kind, worker_id, paths, fs_config):
+        return SimpleDatasetGenerator(
+            kind=kind,
+            worker_id=worker_id,
+            paths=paths,
+            block_size=self.data_loader_config.block_size,
+            columns=self.columns,
+            data_mapper=self.data_mapper,
+            fs_config=fs_config,
+            shuffle_files=self.data_loader_config.shuffle_files,
+            shuffle_data=self.data_loader_config.shuffle_data,
+        )
+
+
+def get_data_loader_strategy(
+    data_loader_config: DataLoaderConfig,
+    columns: List[str],
+    data_mapper: DfMapperFnForKind,
+) -> DataLoaderStrategy:
+    return SimpleDataLoaderStrategy(data_loader_config, columns, data_mapper)

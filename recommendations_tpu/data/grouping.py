@@ -1,0 +1,170 @@
+"""Session grouping + fixed-shape batch forming.
+
+Rebuild of reference ``commons/data/torch_data_loader.py:15-141``
+(``GroupedDataframeWrapperDataset`` + ``_make_features_compliant`` +
+``_coerce_to_shape``) with the TPU-idiomatic change: the output is a stream
+of *fixed-shape* NumPy batches (batch dim exactly ``batch_size``; the last
+partial batch is dropped for train and padded+masked for val), because every
+distinct shape is a fresh XLA compilation.
+
+The reference's defect #9 (``self._group_config`` never assigned) is fixed by
+taking the group config explicitly from ``features.group_dataset``; a model
+without grouping (LTHM: one row per user) streams rows directly.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from recommendations_tpu.features.feature_config import (
+    FeaturesConfig,
+    GroupDatasetConfig,
+)
+
+logger = logging.getLogger(__name__)
+
+Batch = Dict[str, np.ndarray]
+
+
+def _coerce_to_shape(feature_name: str, value: List[np.ndarray], shape) -> np.ndarray:
+    """Stack a ragged list of per-step vectors to ``shape`` with zero-sentinel
+    padding — reference ``torch_data_loader.py:15-26``."""
+    sentinel = np.zeros(shape[1:])
+    max_hist = shape[0]
+    vals = [np.asarray(v) for v in value]
+    if max_hist > len(vals):
+        vals = vals + (max_hist - len(vals)) * [sentinel]
+    elif max_hist < len(vals):
+        vals = vals[:max_hist]
+    return np.stack(vals, axis=0)
+
+
+def make_features_compliant(
+    columns: Dict[str, Any], features_config: FeaturesConfig
+) -> Dict[str, np.ndarray]:
+    """Column dict (lists / object arrays) → dense arrays per feature kind —
+    reference ``torch_data_loader.py:29-75``."""
+    out: Dict[str, np.ndarray] = {}
+    for key, col in columns.items():
+        values = col.values if hasattr(col, "values") else col
+
+        tf = features_config.get_tensor_feature(key)
+        if tf is not None:
+            rows = []
+            for v in values:
+                v = np.asarray(v)
+                if v.shape != tf.get_emb_dim_as_shape():
+                    v = _coerce_to_shape(key, list(v), tf.get_emb_dim_as_shape())
+                rows.append(v)
+            out[key] = np.stack(rows, axis=0).astype(np.float32)
+            continue
+
+        tlf = features_config.get_tensor_list_feature(key)
+        if tlf is not None:
+            rows = []
+            for v in values:
+                v = np.asarray(v, dtype=np.float32)
+                if v.shape != tuple(tlf.get_shape()):
+                    raise ValueError(
+                        f"{key} shape {v.shape} != declared {tlf.get_shape()}"
+                    )
+                rows.append(v)
+            out[key] = np.stack(rows, axis=0)
+            continue
+
+        ohf = features_config.get_one_hot_string_feature(key)
+        chf = features_config.get_categorical_history_feature(key)
+        if ohf is not None or chf is not None:
+            out[key] = np.stack([np.asarray(v, dtype=np.int64) for v in values], axis=0)
+            continue
+
+        if features_config.is_do_not_convert_to_platform_type(key):
+            out[key] = np.asarray(values, dtype=object)
+            continue
+
+        arr = np.asarray(values)
+        if arr.dtype == object:
+            try:
+                arr = np.stack([np.asarray(v) for v in values], axis=0)
+            except Exception:
+                out[key] = np.asarray(values, dtype=object)
+                continue
+        out[key] = arr
+    return out
+
+
+class GroupedBatchDataset:
+    """df stream → (grouped rows) → fixed-shape feature batches."""
+
+    def __init__(
+        self,
+        dataframe_generator: Iterator[pd.DataFrame],
+        features_config: FeaturesConfig,
+        batch_size: int,
+        limit: Optional[int] = None,
+        group_config: Optional[GroupDatasetConfig] = None,
+        drop_remainder: bool = True,
+        columns: Optional[List[str]] = None,
+    ):
+        self._gen = dataframe_generator
+        self._features = features_config
+        self._batch_size = batch_size
+        self._limit = limit
+        self._group = group_config if group_config is not None else features_config.group_dataset
+        self._drop_remainder = drop_remainder
+        self._columns = columns
+
+    def _iter_rows(self) -> Iterator[pd.DataFrame]:
+        for df in self._gen:
+            if self._group is None or not self._group.group_by_columns:
+                yield df
+                continue
+            for _, rows in df.groupby(by=self._group.group_by_columns):
+                n = rows.shape[0]
+                if n < self._group.minimum_group_size:
+                    continue
+                if (
+                    self._group.maximum_group_size is not None
+                    and n > self._group.maximum_group_size
+                ):
+                    continue
+                if self._group.sort_by_columns:
+                    rows = rows.sort_values(
+                        by=self._group.sort_by_columns,
+                        ascending=not self._group.sort_reverse,
+                    )
+                yield rows.reset_index(drop=True)
+
+    def __iter__(self) -> Iterator[Batch]:
+        produced = 0
+        pending: List[pd.DataFrame] = []
+        pending_rows = 0
+        for piece in self._iter_rows():
+            if self._columns is not None:
+                keep = [c for c in piece.columns if c in self._columns]
+                piece = piece[keep]
+            pending.append(piece)
+            pending_rows += piece.shape[0]
+            while pending_rows >= self._batch_size:
+                df = pd.concat(pending, axis=0) if len(pending) > 1 else pending[0]
+                head = df.iloc[: self._batch_size]
+                rest = df.iloc[self._batch_size:]
+                pending = [rest] if rest.shape[0] else []
+                pending_rows = rest.shape[0]
+                yield make_features_compliant(dict(head), self._features)
+                produced += 1
+                if self._limit is not None and produced >= self._limit:
+                    return
+        if pending and not self._drop_remainder:
+            df = pd.concat(pending, axis=0) if len(pending) > 1 else pending[0]
+            n = df.shape[0]
+            # pad by repeating rows; '_pad_mask' marks the synthetic tail
+            reps = int(np.ceil(self._batch_size / n))
+            df = pd.concat([df] * reps, axis=0).iloc[: self._batch_size]
+            batch = make_features_compliant(dict(df), self._features)
+            batch["_pad_mask"] = (np.arange(self._batch_size) >= n)
+            yield batch

@@ -1,0 +1,112 @@
+"""Host data loader: background prefetch + device transfer with sharding.
+
+TPU-native replacement for the reference's torch DataLoader multiprocess
+prefetch (``commons/data/__init__.py:24-65``): a bounded background-thread
+pipeline producing NumPy batches, transferred to the mesh with
+``jax.make_array_from_process_local_data`` so each host contributes its slice
+of the globally-sharded batch (SURVEY.md §2.2 'per-host input sharding').
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from recommendations_tpu.config.trainer_config import (
+    DataLoaderConfig,
+    FileSystemConfig,
+)
+from recommendations_tpu.data.generator import DataLoaderStrategy
+from recommendations_tpu.data.grouping import GroupedBatchDataset
+from recommendations_tpu.features.feature_config import FeaturesConfig
+
+logger = logging.getLogger(__name__)
+
+_SENTINEL = object()
+
+
+class HostDataLoader:
+    """Iterate fixed-shape NumPy batches with bounded prefetch."""
+
+    def __init__(self, dataset: GroupedBatchDataset, max_prefetch: int = 2):
+        self._dataset = dataset
+        self._max_prefetch = max(1, max_prefetch)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        q: "queue.Queue" = queue.Queue(maxsize=self._max_prefetch)
+        err: List[BaseException] = []
+
+        def producer():
+            try:
+                for batch in self._dataset:
+                    q.put(batch)
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+def device_put_batch(
+    batch: Dict[str, np.ndarray], mesh: Optional[Mesh]
+) -> Dict[str, jax.Array]:
+    """Host batch → device arrays sharded on the 'data' mesh axis.
+
+    Single-process: a plain device_put with NamedSharding.  Multi-host: each
+    process passes its local slice and the global array is assembled across
+    hosts (replaces DDP's implicit per-rank batches).
+    """
+    out = {}
+    for k, v in batch.items():
+        if v.dtype == object:
+            continue  # string passthrough columns stay on host
+        if mesh is None:
+            out[k] = jax.device_put(v)
+        elif jax.process_count() > 1:
+            out[k] = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, PartitionSpec("data")), v
+            )
+        else:
+            out[k] = jax.device_put(v, NamedSharding(mesh, PartitionSpec("data")))
+    return out
+
+
+def get_host_dataloader(
+    kind: str,
+    worker_id: int,
+    paths: List[str],
+    batch_size: int,
+    num_steps: Optional[int],
+    data_loader_strategy: DataLoaderStrategy,
+    features_config: FeaturesConfig,
+    fs_config: FileSystemConfig,
+    drop_remainder: bool = True,
+) -> HostDataLoader:
+    """Assemble generator → grouper/batcher → prefetching loader
+    (mirrors reference ``get_torch_dataloader``, ``data/__init__.py:24-65``)."""
+    generator = data_loader_strategy.load(kind, worker_id, paths, fs_config)
+    dl_cfg: DataLoaderConfig = data_loader_strategy.data_loader_config
+    dataset = GroupedBatchDataset(
+        dataframe_generator=generator,
+        features_config=features_config,
+        batch_size=batch_size,
+        limit=num_steps,
+        drop_remainder=drop_remainder,
+        columns=None,
+    )
+    return HostDataLoader(dataset, max_prefetch=dl_cfg.max_prefetch)

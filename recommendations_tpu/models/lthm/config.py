@@ -1,0 +1,196 @@
+"""LTHM model config.
+
+Rebuild of reference ``models/lthm/config.py`` with every runtime-accessed
+field *declared* (the reference accesses ~10 undeclared fields that pydantic
+silently drops — SURVEY.md §2.5#2: ``sparse``, ``loss_type``,
+``log_q_config`` on the model config; ``inp_emb_dim``/``out_emb_dim``/
+``norm_threshold``/``norm_bins``/``cosine_lsh_config``/
+``model_init_metadata``/``latent_model_config`` on the product tower;
+``dropout``/``num_layers`` on the transformer config).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+from pydantic import BaseModel, ConfigDict
+
+from recommendations_tpu.config.model_config import ModelConfig, ModelKind
+from recommendations_tpu.config.trainer_config import FileSystemConfig
+
+
+class CosineLSHSpec(BaseModel):
+    num_bins: int
+    num_proj: int
+
+
+class LatentModelConfig(BaseModel):
+    """Fresh (untrained) KShift product-embedding table when no pretrained
+    module is provided — reference ``models/lthm/sequence/encoder.py:31-37``."""
+
+    vocab_size_latent: int = 2**20
+    num_shifts_latent: int = 8
+    normalize_embedding: bool = False
+
+
+class ModelInitMetadata(BaseModel):
+    """Pointer to a pretrained product-embedding module artifact (the output
+    of tools/embedding_module_gen) — reference ``encoder.py:22-29``."""
+
+    embedding_module_path: str
+    filesystem_config: Optional[FileSystemConfig] = None
+
+
+class ProductTowerConfig(BaseModel):
+    inp_emb_dim: int = 32
+    out_emb_dim: int = 512
+    # contrastive/retrieval space dim (the reference YAML calls it
+    # item_emb_dim; code reads product_emb_dim — both accepted)
+    product_emb_dim: int = 128
+    item_emb_dim: Optional[int] = None
+    detach_item_tower: bool = True
+    norm_threshold: float = 0.05
+    norm_bins: int = 20
+    cosine_lsh_config: List[CosineLSHSpec] = []
+    model_init_metadata: Optional[ModelInitMetadata] = None
+    latent_model_config: LatentModelConfig = LatentModelConfig()
+
+    def __init__(self, **kwargs):
+        if kwargs.get("item_emb_dim") is not None and "product_emb_dim" not in kwargs:
+            kwargs["product_emb_dim"] = kwargs["item_emb_dim"]
+        # the reference YAML pins model_init_metadata to "???" (hydra
+        # missing-value sentinel); treat it as absent
+        if kwargs.get("model_init_metadata") in ("???", {}, ""):
+            kwargs["model_init_metadata"] = None
+        super().__init__(**kwargs)
+
+
+class LogQConfig(BaseModel):
+    """Streaming logQ sampled-softmax correction knobs —
+    reference ``hydra-configs/model/lthm.yaml:6-10``."""
+
+    num_buckets: int = 2**24
+    hash_offsets: List[int] = [0]
+    alpha: float = 0.05
+    p_init: float = 0.01
+    beta: float = 0.0
+
+
+class PositionBiasConfig(BaseModel):
+    context_window: int
+
+
+class SelfAttentionConfig(BaseModel):
+    """Reference ``commons/transformers/configs.py:27-34``."""
+
+    attn_dropout: float = 0.1
+    bias: bool = True
+    dropout: float = 0.1
+    n_head: int = 12
+    n_embd: int = 768
+    pos_bias: Optional[PositionBiasConfig] = None
+    attn_type: str = "multi_head"  # 'multi_head' | 'multi_query'
+
+
+class MoEConfig(BaseModel):
+    num_experts: int
+    proj_features: int
+    ff_mult_factor: float
+    gate_sizes: Optional[Tuple[int, ...]] = None
+    top_k: Optional[int] = None
+
+
+class MLPConfig(BaseModel):
+    ff_mult: float
+
+
+class TransformerConfig(BaseModel):
+    """Reference ``commons/transformers/configs.py:37-44`` + the undeclared
+    fields the query tower reads (``query_tower.py:39-43``)."""
+
+    rotator_config: Any  # MoEConfig | MLPConfig | {'ff_mult': f} | float
+    is_causal: bool = False
+    max_block_size: Optional[int] = None
+    is_sparse_attn: bool = False
+    sparsity_factor: float = 0.5
+    enable_gradient_checkpointing: bool = False
+    attn_config: SelfAttentionConfig
+    dropout: float = 0.0
+    num_layers: int = 2
+
+    def rotator(self):
+        """Normalize rotator_config to float (MLP mult) or MoESpec."""
+        from recommendations_tpu.nn.transformer import MoESpec
+
+        rc = self.rotator_config
+        if isinstance(rc, (int, float)):
+            return float(rc)
+        if isinstance(rc, MLPConfig):
+            return float(rc.ff_mult)
+        if isinstance(rc, MoEConfig):
+            return MoESpec(
+                num_experts=rc.num_experts,
+                proj_features=rc.proj_features,
+                ff_mult_factor=rc.ff_mult_factor,
+                gate_sizes=tuple(rc.gate_sizes or ()),
+                top_k=rc.top_k,
+            )
+        if isinstance(rc, dict):
+            if "ff_mult" in rc:
+                return float(rc["ff_mult"])
+            moe = rc.get("moe", rc)
+            if "num_experts" in moe:
+                return MoESpec(
+                    num_experts=moe["num_experts"],
+                    proj_features=moe["proj_features"],
+                    ff_mult_factor=moe["ff_mult_factor"],
+                    gate_sizes=tuple(moe.get("gate_sizes") or ()),
+                    top_k=moe.get("top_k"),
+                )
+        return 4.0
+
+
+class LTHMModelConfig(ModelConfig):
+    model_config = ConfigDict(arbitrary_types_allowed=True, protected_namespaces=())
+
+    kind: ModelKind = ModelKind.LTHM
+    type: str = "lthm_seq"
+    name: str = "lthm"
+    sparse: bool = False
+    loss_type: str = "contrastive"
+    log_q_config: LogQConfig = LogQConfig()
+    n_labels: int = 5
+    lookahead: List[int] = [0, 5, 6, 12, 24, 30]
+    detach_input_for_loss_calc: bool = False
+    softmax_temperature: float = 0.05
+    transformer_config: TransformerConfig
+    metrics_k_all: List[int] = [1, 5, 20, 50]
+    context_width: int = 150
+    lr: float = 6e-4
+    weight_decay: float = 0.0
+    betas: Tuple[float, float] = (0.9, 0.95)
+    train_mini_batch_size: int = -1
+    min_history_size: int = 1
+    product_tower: ProductTowerConfig = ProductTowerConfig()
+    use_only_updated_data: bool = False
+    knn_eval: bool = False
+    # parallelism: shard the product-embedding table rows over the 'model'
+    # mesh axis (the flagship TPU capability; no reference equivalent)
+    shard_embedding_rows: bool = False
+
+    @property
+    def emb_dim(self) -> int:
+        return self.transformer_config.attn_config.n_embd
+
+    @property
+    def export_tokens(self) -> int:
+        return len(self.lookahead)
+
+    @property
+    def export_span(self) -> int:
+        return max(self.lookahead) + 1
+
+    def get_builder(self, stats: Optional[Any] = None):
+        from recommendations_tpu.models.lthm.builder import LTHMModelBuilder
+
+        return LTHMModelBuilder(stats, self)

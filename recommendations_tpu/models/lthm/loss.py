@@ -1,0 +1,225 @@
+"""Multi-horizon in-batch contrastive loss with streaming logQ correction.
+
+Static-shape rebuild of reference ``models/lthm/sequence/wrapper.py:114-245``.
+Where the reference reshapes per sampled offset (``input_emb[:, offset:]``)
+and *drops* rows (``logits[~not_use]``) — both dynamic shapes — this
+implementation keeps one fixed (N, N) logits tile per head and expresses the
+same semantics through masks and weights:
+
+- candidate at flattened slot t=(b,j) is ``roll(input_emb, -offset)[b,j]``
+  = input token (b, j+offset); query slot t is head-i transformer output at
+  position j.  Positives stay on the diagonal exactly as in the reference
+  (labels = arange).
+- slot validity v[b,j] = (j < S-offset) AND token (b,j+offset) is not
+  padding — replaces the reference's slicing + pad-mask rows/cols.
+- 'same-user non-diagonal → -inf', 'padded row/col → -inf', 'skip rows with
+  no negatives', and 'NaN filtering' all become additive masks / zero
+  weights (reference ``wrapper.py:185-218``).
+- hit_rate@k via rank = #(masked logits > positive) instead of top-k, so
+  k_eff = min(k, min negatives) can be traced (reference ``wrapper.py:240-242``).
+
+The (N, N) tile is bounded by loss-side mini-batching
+(``train_mini_batch_size``, reference ``wrapper.py:78-112``): chunks of the
+batch are processed in a static python loop inside the same jit.
+
+Offsets are sampled *inside* the jit (one randint per head with traced
+bounds), matching the reference's per-step curriculum
+(``wrapper.py:147-152``) without retracing.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from recommendations_tpu.nn.logq import LogQState, logq_correction, logq_update
+
+Metrics = Dict[str, jnp.ndarray]
+
+_BIG_NEG = -1e9
+
+
+def sample_offsets(rng: jax.Array, lookahead: List[int]) -> jnp.ndarray:
+    """offset_0 = lookahead[0]; offset_i ~ U(prev+1, lookahead[i]) — the
+    lookahead curriculum of reference ``wrapper.py:147-152``."""
+    offsets = [jnp.asarray(lookahead[0], dtype=jnp.int32)]
+    prev = offsets[0]
+    for i in range(1, len(lookahead)):
+        sub = jax.random.fold_in(rng, i)
+        off = jax.random.randint(
+            sub, (), minval=prev + 1, maxval=jnp.asarray(lookahead[i], jnp.int32) + 1,
+            dtype=jnp.int32,
+        )
+        offsets.append(off)
+        prev = off
+    return jnp.stack(offsets)
+
+
+def _head_loss(
+    query: jnp.ndarray,       # (Bc, S, D) normalized head-i outputs
+    cand: jnp.ndarray,        # (Bc, S, D) normalized rolled candidates
+    valid: jnp.ndarray,       # (Bc, S) slot validity
+    cand_logq: jnp.ndarray,   # (Bc, S) logQ of candidate tokens
+    temperature: float,
+    beta: float,
+) -> Tuple[jnp.ndarray, Metrics]:
+    bc, s, d = query.shape
+    n = bc * s
+    q = query.reshape(n, d)
+    c = cand.reshape(n, d)
+    v = valid.reshape(n)
+    lq = cand_logq.reshape(n)
+
+    logits = (q @ c.T) / temperature  # (N, N) f32
+
+    user = jnp.repeat(jnp.arange(bc), s)  # flattened slot -> batch row
+    same_user = user[:, None] == user[None, :]
+    eye = jnp.eye(n, dtype=bool)
+    col_invalid = ~v[None, :]
+
+    add_mask = jnp.where(same_user & ~eye, _BIG_NEG, 0.0)
+    add_mask = add_mask + jnp.where(col_invalid, _BIG_NEG, 0.0)
+    logits = logits + add_mask
+
+    # logQ subtracted per candidate column, zeroed at the positive
+    # (reference wrapper.py:167-174)
+    corr = jnp.where(eye, 0.0, beta * lq[None, :])
+    adj = logits - corr
+
+    # negatives per row = valid, non-masked columns minus the positive
+    num_neg = jnp.sum((add_mask == 0.0), axis=-1) - 1
+    w = (v & (num_neg > 0)).astype(jnp.float32)
+
+    # stable CE at the diagonal
+    lse = jax.nn.logsumexp(adj, axis=-1)
+    pos_logit = jnp.diagonal(adj)
+    ce = lse - pos_logit
+    ce = jnp.where(jnp.isnan(ce), 0.0, ce)  # NaN filter (wrapper.py:210-213)
+    used = jnp.sum(w)
+    loss = jnp.sum(ce * w) / jnp.maximum(used, 1.0)
+
+    # rank of the positive among the *raw masked* logits (metrics use the
+    # uncorrected logits, as the reference sorts `logits` not the adjusted
+    # ones — wrapper.py:231-242)
+    rank = jnp.sum((logits > jnp.diagonal(logits)[:, None]), axis=-1)
+    metrics = {
+        "effective_batch_size": used,
+        "average_negatives_per_token": jnp.sum(num_neg * w) / jnp.maximum(used, 1.0),
+        "used_tokens": used,
+        "loss_all_tokens": loss,
+        "average_hit_position": jnp.sum(rank * w) / jnp.maximum(used, 1.0),
+        "median_hit_position": jnp.nanquantile(
+            jnp.where(w > 0, rank.astype(jnp.float32), jnp.nan), 0.5
+        ),
+        "_rank": rank,
+        "_weight": w,
+        "_min_neg": jnp.min(jnp.where(w > 0, num_neg, jnp.iinfo(jnp.int32).max)),
+    }
+    return loss, metrics
+
+
+def contrastive_step(
+    output: Dict[str, jnp.ndarray],
+    logq_state: LogQState,
+    batch_idx: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    lookahead: List[int],
+    temperature: float,
+    beta: float,
+    alpha: float,
+    metrics_k_all: List[int],
+    train_mini_batch_size: int,
+    training: bool,
+) -> Tuple[jnp.ndarray, Metrics, LogQState]:
+    """Full train/val loss over the macro batch.
+
+    Mirrors reference ``wrapper.py:72-245``: normalize embeddings, update the
+    streaming logQ estimator on real (unmasked) tokens, then accumulate the
+    per-head contrastive losses over mini-batch chunks.
+    """
+    out_emb = output["next_token_emb"].astype(jnp.float32)
+    in_emb = output["current_token_emb"].astype(jnp.float32)
+    mask = output["current_token_mask"]
+    ids = output["current_token_ids"]
+
+    from recommendations_tpu.nn.functional import l2_normalize
+
+    out_emb = l2_normalize(out_emb)
+    in_emb = l2_normalize(in_emb)
+
+    b, s = mask.shape
+    k_heads = len(lookahead)
+    assert out_emb.shape[1] == s + 1 and out_emb.shape[2] == k_heads
+
+    # --- streaming logQ (training only; the reference also updates during
+    # val as a side effect of sharing the helper — wrapper.py:132-136 —
+    # which silently skews the estimator with val data)
+    if training:
+        logq_state = logq_update(logq_state, ids, ~mask, batch_idx, alpha=alpha)
+    logq = logq_correction(logq_state, ids)  # (B, S)
+
+    offsets = sample_offsets(rng, lookahead)
+
+    prefix = "train" if training else "val"
+    chunk = train_mini_batch_size if (training and train_mini_batch_size > 0) else b
+    chunk = min(chunk, b)
+    starts = list(range(0, b, chunk))
+
+    total_loss = jnp.asarray(0.0, jnp.float32)
+    metrics: Metrics = {
+        f"{prefix}_batch_size": jnp.asarray(b, jnp.float32),
+        f"{prefix}_seq_len": jnp.asarray(s, jnp.float32),
+    }
+
+    for i in range(k_heads):
+        off = offsets[i]
+        # roll the candidate stream so slot (b, j) pairs with token (b, j+off)
+        cand = jnp.roll(in_emb, -off, axis=1)
+        cand_mask = jnp.roll(mask, -off, axis=1)
+        cand_logq = jnp.roll(logq, -off, axis=1)
+        pos_ok = jnp.arange(s)[None, :] < (s - off)
+        valid = (~cand_mask) & pos_ok
+        query = out_emb[:, :s, i, :]
+
+        head_loss = jnp.asarray(0.0, jnp.float32)
+        agg: Dict[str, jnp.ndarray] = {}
+        ranks, weights, min_negs = [], [], []
+        n_chunks = len(starts)
+        for cs in starts:
+            ce_loss, m = _head_loss(
+                query[cs : cs + chunk],
+                cand[cs : cs + chunk],
+                valid[cs : cs + chunk],
+                cand_logq[cs : cs + chunk],
+                temperature,
+                beta,
+            )
+            head_loss = head_loss + ce_loss / n_chunks
+            ranks.append(m.pop("_rank"))
+            weights.append(m.pop("_weight"))
+            min_negs.append(m.pop("_min_neg"))
+            for key, val in m.items():
+                agg[key] = agg.get(key, 0.0) + val / n_chunks
+
+        total_loss = total_loss + head_loss
+        rank_all = jnp.concatenate(ranks)
+        w_all = jnp.concatenate(weights)
+        min_neg = jnp.min(jnp.stack(min_negs))
+        used = jnp.maximum(jnp.sum(w_all), 1.0)
+        for k in metrics_k_all:
+            k_eff = jnp.minimum(k, min_neg)
+            hit = (rank_all < k_eff).astype(jnp.float32)
+            agg[f"hit_rate_at_{k}"] = jnp.sum(hit * w_all) / used
+
+        # per-head metric keys use the head index (the sampled offset is a
+        # traced value, so it is reported as a metric rather than a key —
+        # deviation from the reference's f'..._offset_{offset}' names)
+        agg["offset"] = off.astype(jnp.float32)
+        for key, val in agg.items():
+            metrics[f"{prefix}_{key}_lookahead_{i}"] = val
+
+    metrics[f"{prefix}_loss"] = total_loss
+    return total_loss, metrics, logq_state

@@ -1,0 +1,147 @@
+"""LTHM model wrapper: ties the network, loss, optimizers, and sharding.
+
+Rebuild of reference ``models/lthm/sequence/wrapper.py:16-275`` on the pure
+contract of ``recommendations_tpu/models/base.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from recommendations_tpu.core.partitioning import PartitionRules
+from recommendations_tpu.models.base import BaseModelWrapper, Batch, Metrics
+from recommendations_tpu.models.lthm.config import LTHMModelConfig
+from recommendations_tpu.models.lthm.loss import contrastive_step
+from recommendations_tpu.models.lthm.model import LTHMEncoder
+from recommendations_tpu.nn.logq import LogQState, init_logq_state
+from jax.sharding import PartitionSpec
+
+
+class LTHMAuxState(NamedTuple):
+    logq: LogQState
+    batch_idx: jnp.ndarray  # float32 scalar batch counter
+
+
+class LTHMModelWrapper(BaseModelWrapper):
+    def __init__(self, model_config: LTHMModelConfig, stats: Optional[Any] = None):
+        self.config = model_config
+        self.stats = stats
+        self.module = LTHMEncoder(model_config)
+
+    # ----- dtype contract (reference wrapper.py:48-64) -----------------------
+
+    def format_inputs(self, batch: Batch) -> Batch:
+        out = dict(batch)
+        for f in self.config.features.categorical_history_features:
+            x = out[f.name]
+            if not jnp.issubdtype(jnp.asarray(x).dtype, jnp.integer):
+                raise TypeError(f"{f.name} expected int64, got {jnp.asarray(x).dtype}")
+        for f in self.config.features.tensor_list_features:
+            if f.name in out:
+                out[f.name] = jnp.asarray(out[f.name]).astype(jnp.float32)
+        return out
+
+    # ----- init / forward ----------------------------------------------------
+
+    def init_variables(self, rng: jax.Array, batch: Batch) -> Dict[str, Any]:
+        return self.module.init(rng, self.format_inputs(batch), deterministic=True)
+
+    def init_aux_state(self) -> LTHMAuxState:
+        lq = self.config.log_q_config
+        return LTHMAuxState(
+            logq=init_logq_state(lq.num_buckets, lq.hash_offsets, lq.p_init),
+            batch_idx=jnp.asarray(0.0, jnp.float32),
+        )
+
+    def forward(
+        self,
+        variables: Dict[str, Any],
+        batch: Batch,
+        rng: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        rngs = {"dropout": rng} if (rng is not None and not deterministic) else None
+        return self.module.apply(
+            variables, self.format_inputs(batch), deterministic=deterministic, rngs=rngs
+        )
+
+    # ----- loss --------------------------------------------------------------
+
+    def loss_and_metrics(
+        self,
+        params: Any,
+        constants: Any,
+        aux_state: LTHMAuxState,
+        batch: Batch,
+        rng: jax.Array,
+        training: bool,
+    ) -> Tuple[jnp.ndarray, Tuple[Metrics, LTHMAuxState]]:
+        fwd_rng, loss_rng = jax.random.split(rng)
+        variables = {"params": params}
+        if constants:
+            variables["constants"] = constants
+        output = self.forward(
+            variables, batch, rng=fwd_rng, deterministic=not training
+        )
+        cfg = self.config
+        loss, metrics, new_logq = contrastive_step(
+            output,
+            aux_state.logq,
+            aux_state.batch_idx,
+            loss_rng,
+            lookahead=list(cfg.lookahead),
+            temperature=cfg.softmax_temperature,
+            beta=cfg.log_q_config.beta,
+            alpha=cfg.log_q_config.alpha,
+            metrics_k_all=list(cfg.metrics_k_all),
+            train_mini_batch_size=cfg.train_mini_batch_size,
+            training=training,
+        )
+        new_aux = LTHMAuxState(
+            logq=new_logq,
+            batch_idx=aux_state.batch_idx + (1.0 if training else 0.0),
+        )
+        return loss, (metrics, new_aux)
+
+    # ----- optimizers (reference wrapper.py:260-275: one AdamW group) --------
+
+    def optimizers_for_param_groups(self) -> Optional[Dict[str, optax.GradientTransformation]]:
+        cfg = self.config
+        return {
+            "USE_OPTIM": optax.adamw(
+                learning_rate=cfg.lr,
+                weight_decay=cfg.weight_decay,
+                b1=cfg.betas[0],
+                b2=cfg.betas[1],
+            )
+        }
+
+    def param_labels(self, params: Any) -> Any:
+        return jax.tree_util.tree_map(lambda _: "USE_OPTIM", params)
+
+    # ----- sharding ----------------------------------------------------------
+
+    def partition_rules(self) -> PartitionRules:
+        rules = []
+        if self.config.shard_embedding_rows:
+            # row-shard the big hash tables over the 'model' axis
+            rules.append(
+                (r".*product_emb_module/embedding", PartitionSpec("model", None))
+            )
+        rules.append((r".*", PartitionSpec()))
+        return PartitionRules(rules)
+
+    # ----- export ------------------------------------------------------------
+
+    def inference_models(self) -> Dict[str, Any]:
+        """'user_encoder' maps a batch to user/next-item embeddings;
+        'product_encoder' maps ids to retrieval-space product embeddings."""
+
+        def user_encoder(variables, batch):
+            return self.forward(variables, batch, deterministic=True)
+
+        return {"user_encoder": user_encoder}

@@ -21,9 +21,16 @@ def gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """torch F.normalize(p=2) semantics: x / max(||x||, eps)."""
-    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
-    return x / jnp.maximum(norm, eps)
+    """torch F.normalize(p=2) semantics: x / max(||x||, eps).
+
+    Gradient-safe at x == 0: the max is taken on the *squared* norm before
+    the sqrt, so the sqrt never sees 0 and d||x||/dx never produces NaN
+    (exact-zero rows are routine here — masked product embeddings are zeroed,
+    reference ``product_tower.py:59``).
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return x / norm
 
 
 @jax.custom_vjp

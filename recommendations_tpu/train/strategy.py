@@ -1,0 +1,410 @@
+"""Training strategies: the mesh-parallel jit train loop.
+
+TPU-native rebuild of reference
+``commons/training_strategy/accelerate_training_strategy.py``.  Structural
+mapping:
+
+| reference (Ray + DDP)                       | here (mesh + jit)             |
+|---------------------------------------------|-------------------------------|
+| Ray TorchTrainer spawns N 1-GPU workers     | 1 process/host over a Mesh    |
+| Accelerate DDP gradient all-reduce          | batch sharded on 'data'; XLA  |
+|                                             | inserts the grad psum         |
+| AMP autocast                                | bf16 compute policy           |
+| per-rank metric all_gather + sum (:532-550) | metrics computed on the global|
+|                                             | sharded batch inside the step |
+| stop-flag all_gather (:464-480)             | host allgather of a bool      |
+| rank-0 TorchScript checkpoints (:374-398)   | Orbax full-state checkpoints  |
+
+The whole hot path — forward, loss, backward, multi-group optimizer update,
+logQ state update — is ONE jit-compiled function with donated state, so
+parameters never leave device memory and collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+import abc
+import logging
+import time
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
+
+from recommendations_tpu.config.trainer_config import ModelTrainConfig
+from recommendations_tpu.config.training_strategy_config import (
+    PjitTrainingStrategyConfig,
+    TrainingStrategyConfig,
+)
+from recommendations_tpu.core.mesh import MeshConfig, build_mesh
+from recommendations_tpu.core.partitioning import shard_params
+from recommendations_tpu.data.loader import device_put_batch, get_host_dataloader
+from recommendations_tpu.data.paths import get_paths_for_worker
+from recommendations_tpu.models.base import BaseModelWrapper
+from recommendations_tpu.train.checkpoint import CheckpointManager
+from recommendations_tpu.train.optimizers import build_optimizer
+from recommendations_tpu.train.train_state import TrainState
+
+logger = logging.getLogger(__name__)
+
+
+def _any_host(flag: bool) -> bool:
+    """Cooperative cross-host OR — replaces the reference's all_gather of a
+    1-float stop flag (``accelerate_training_strategy.py:464-480``)."""
+    if jax.process_count() == 1:
+        return flag
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(jnp.asarray([1.0 if flag else 0.0]))
+    return bool(np.asarray(flags).sum() > 0)
+
+
+def _tree_any_nan(tree) -> jnp.ndarray:
+    leaves = [
+        jnp.isnan(x).any()
+        for x in jax.tree_util.tree_leaves(tree)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+    ]
+    return jnp.any(jnp.stack(leaves)) if leaves else jnp.asarray(False)
+
+
+class TrainingStrategy(abc.ABC):
+    @abc.abstractmethod
+    def train(
+        self,
+        model_builder,
+        data_loader_strategy,
+        train_data_paths: List[str],
+        val_data_paths: List[str],
+        pipeline_config,
+        model_checkpointer=None,
+    ) -> Tuple[BaseModelWrapper, TrainState, Dict[str, float]]:
+        ...
+
+
+class PjitTrainingStrategy(TrainingStrategy):
+    def __init__(self, training_strategy_config: PjitTrainingStrategyConfig):
+        self.config = training_strategy_config
+
+    # -- setup ----------------------------------------------------------------
+
+    def _mesh(self):
+        return build_mesh(
+            MeshConfig(
+                data=self.config.mesh_data,
+                model=getattr(self.config, "mesh_model", 1),
+                expert=getattr(self.config, "mesh_expert", 1),
+            )
+        )
+
+    def _make_step_fns(self, wrapper: BaseModelWrapper, optimizer, mesh):
+        def train_step(state: TrainState, batch):
+            rng, sub = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                return wrapper.loss_and_metrics(
+                    params, state.constants, state.aux, batch, sub, True
+                )
+
+            (loss, (metrics, new_aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates
+            )
+            metrics = dict(metrics)
+            metrics["grad_norm"] = jax.tree_util.tree_reduce(
+                lambda a, x: a + jnp.sum(jnp.square(x)), grads, jnp.asarray(0.0)
+            ) ** 0.5
+            metrics["params_nan"] = _tree_any_nan(new_params).astype(jnp.float32)
+            new_state = TrainState(
+                params=new_params,
+                constants=state.constants,
+                opt_state=new_opt,
+                aux=new_aux,
+                step=state.step + 1,
+                rng=rng,
+            )
+            return new_state, loss, metrics
+
+        def val_step(state: TrainState, batch, rng):
+            loss, (metrics, _) = wrapper.loss_and_metrics(
+                state.params, state.constants, state.aux, batch, rng, False
+            )
+            return loss, metrics
+
+        donate = (0,) if self.config.donate_state else ()
+        return (
+            jax.jit(train_step, donate_argnums=donate),
+            jax.jit(val_step),
+        )
+
+    def init_state(
+        self,
+        wrapper: BaseModelWrapper,
+        optimizer,
+        example_batch,
+        mesh,
+        seed: int = 0,
+        variables=None,
+    ) -> TrainState:
+        rng = jax.random.PRNGKey(seed)
+        init_rng, state_rng = jax.random.split(rng)
+        if variables is None:
+            variables = wrapper.init_variables(init_rng, example_batch)
+        params = variables.get("params", {})
+        constants = variables.get("constants", {})
+        opt_state = optimizer.init(params)
+        state = TrainState.create(params, constants, opt_state, wrapper.init_aux_state(), state_rng)
+        rules = wrapper.partition_rules()
+        params = shard_params(mesh, state.params, rules)
+        # everything else replicated
+        repl = NamedSharding(mesh, PartitionSpec())
+        others = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl),
+            (state.constants, state.opt_state, state.aux, state.step, state.rng),
+        )
+        constants, opt_state, aux, step, rng = others
+        return TrainState(
+            params=params, constants=constants, opt_state=opt_state,
+            aux=aux, step=step, rng=rng,
+        )
+
+    # -- main loop ------------------------------------------------------------
+
+    def train(
+        self,
+        model_builder,
+        data_loader_strategy,
+        train_data_paths: List[str],
+        val_data_paths: List[str],
+        pipeline_config,
+        model_checkpointer=None,
+    ) -> Tuple[BaseModelWrapper, TrainState, Dict[str, float]]:
+        train_cfg: ModelTrainConfig = pipeline_config.train
+        wrapper: BaseModelWrapper = model_builder.build()
+        mesh = self._mesh()
+        trackers = pipeline_config.trackers
+        features = pipeline_config.model.features
+        fs = pipeline_config.dataset.filesystem_config
+
+        host_id, n_hosts = jax.process_index(), jax.process_count()
+        host_train_paths = get_paths_for_worker(host_id, train_data_paths, n_hosts)
+        host_val_paths = get_paths_for_worker(host_id, val_data_paths, n_hosts) if val_data_paths else []
+
+        def make_loader(kind: str, paths: List[str], limit=None):
+            return get_host_dataloader(
+                kind=kind,
+                worker_id=host_id,
+                paths=paths,
+                batch_size=train_cfg.batch_size,
+                num_steps=limit,
+                data_loader_strategy=data_loader_strategy,
+                features_config=features,
+                fs_config=fs,
+            )
+
+        # example batch for init (variables built once, reused for optimizer
+        # labels and state init — model init compiles are expensive)
+        example = next(iter(make_loader("train", host_train_paths, limit=1)))
+        init_vars = wrapper.init_variables(jax.random.PRNGKey(0), example)
+        optimizer = build_optimizer(wrapper, train_cfg, init_vars.get("params", {}))
+        train_step, val_step = self._make_step_fns(wrapper, optimizer, mesh)
+        state = self.init_state(wrapper, optimizer, example, mesh, variables=init_vars)
+
+        ckpt_mgr: Optional[CheckpointManager] = None
+        ckpt_dir = getattr(pipeline_config, "checkpoint_dir", None)
+        if train_cfg.checkpoint_every_k_steps and ckpt_dir:
+            ckpt_mgr = CheckpointManager(ckpt_dir)
+            restored = ckpt_mgr.restore(state)
+            if restored is not None:
+                logger.info("resumed from checkpoint step=%s", ckpt_mgr.latest_step())
+                state = restored
+
+        # eval cache (reference init_eval_cache, :277-291)
+        eval_cache: List[Dict[str, np.ndarray]] = []
+        if train_cfg.validation_steps > 0 and host_val_paths:
+            for i, b in enumerate(make_loader("val", host_val_paths)):
+                eval_cache.append(b)
+                if len(eval_cache) >= train_cfg.validation_steps:
+                    break
+
+        metrics_agg: Dict[str, float] = {}
+        metrics_agg_n = 0
+        global_metrics: Dict[str, float] = {}
+        best_loss = float("inf")
+        loss_factor = (
+            pipeline_config.export.export_if_loss_within_factor_of_best_model
+            if pipeline_config.export is not None
+            and pipeline_config.export.export_if_loss_within_factor_of_best_model
+            else float("inf")
+        )
+        best_after = (
+            pipeline_config.export.best_model_after_k_steps
+            if pipeline_config.export is not None
+            and pipeline_config.export.best_model_after_k_steps
+            else 0
+        )
+
+        global_num_samples = 0
+        batch_nb = 0
+        train_start = None
+        stop_all = False
+
+        for epoch in range(train_cfg.epochs):
+            if stop_all:
+                break
+            it = iter(make_loader("train", host_train_paths))
+            while True:
+                try:
+                    host_batch = next(it)
+                    if _any_host(False):
+                        stop_all = True
+                        break
+                except StopIteration:
+                    _any_host(True)
+                    break
+                if train_start is None:
+                    train_start = time.time()
+
+                batch = device_put_batch(host_batch, mesh)
+                state, loss, metrics = train_step(state, batch)
+                batch_nb += 1
+                global_num_samples += train_cfg.batch_size * n_hosts
+
+                if batch_nb % train_cfg.train_metrics_every_n_steps == 0:
+                    host_metrics = {k: float(v) for k, v in metrics.items()}
+                    loss_val = float(loss)
+                    for k, v in host_metrics.items():
+                        metrics_agg[k] = metrics_agg.get(k, 0.0) + v
+                    metrics_agg_n += 1
+                    avg = {k: v / metrics_agg_n for k, v in metrics_agg.items()}
+                    speed = global_num_samples / max(time.time() - train_start, 1e-9)
+                    avg["training speed - samples per second"] = speed
+                    avg["epoch"] = epoch
+                    avg["steps"] = batch_nb
+                    if host_id == 0:
+                        trackers.log_metrics(avg, step=global_num_samples)
+                    logger.info(
+                        "epoch %d step %d loss %.5f %.1f samples/s",
+                        epoch, batch_nb, loss_val, speed,
+                    )
+                    metrics_agg, metrics_agg_n = {}, 0
+                    global_metrics.update(avg)
+
+                    # NaN watchdog (reference :374-398)
+                    if np.isnan(loss_val) or host_metrics.get("params_nan", 0.0) > 0:
+                        if ckpt_mgr:
+                            ckpt_mgr.wait()
+                        raise ValueError(
+                            "Stopping: NaN in loss or parameters at step %d" % batch_nb
+                        )
+                    if batch_nb >= best_after:
+                        best_loss = min(best_loss, loss_val)
+
+                # periodic val from cache (reference :442-456)
+                if (
+                    eval_cache
+                    and train_cfg.val_metrics_every_n_steps > 0
+                    and batch_nb % train_cfg.val_metrics_every_n_steps == 0
+                ):
+                    val_metrics = self._run_val(
+                        val_step, state, eval_cache, mesh, train_cfg, trackers,
+                        step=global_num_samples,
+                    )
+                    if host_id == 0:
+                        trackers.log_metrics(val_metrics, step=global_num_samples)
+                    global_metrics.update(val_metrics)
+
+                # checkpoint gate (reference :374-398)
+                if (
+                    train_cfg.checkpoint_every_k_steps
+                    and batch_nb % train_cfg.checkpoint_every_k_steps == 0
+                ):
+                    loss_val = float(loss)
+                    dont = np.isnan(loss_val) or (
+                        best_loss > 0.0 and loss_val > loss_factor * best_loss
+                    )
+                    if not dont:
+                        if ckpt_mgr:
+                            ckpt_mgr.save(batch_nb, state, {"loss": loss_val})
+                        if model_checkpointer is not None and host_id == 0:
+                            model_checkpointer.checkpoint(
+                                state, result_df=_metrics_df(global_metrics)
+                            )
+                    else:
+                        logger.info(
+                            "skip checkpoint at %d (loss %.4f best %.4f)",
+                            batch_nb, loss_val, best_loss,
+                        )
+
+                if train_cfg.train_steps and batch_nb >= train_cfg.train_steps:
+                    stop_all = True
+                    break
+
+        if ckpt_mgr:
+            ckpt_mgr.wait()
+            ckpt_mgr.close()
+        elapsed = max(time.time() - train_start, 1e-9) if train_start else 0.0
+        final = dict(global_metrics)
+        final["train_steps_total"] = batch_nb
+        final["train_samples_per_sec"] = (
+            global_num_samples / elapsed if elapsed else 0.0
+        )
+        return wrapper, state, final
+
+    def _run_val(
+        self, val_step, state, eval_cache, mesh, train_cfg, trackers, step
+    ) -> Dict[str, float]:
+        t0 = time.time()
+        agg: Dict[str, float] = {}
+        n = 0
+        skipped = 0
+        rng = jax.random.PRNGKey(1234)
+        for i, host_batch in enumerate(eval_cache):
+            batch = device_put_batch(host_batch, mesh)
+            loss, metrics = val_step(state, batch, jax.random.fold_in(rng, i))
+            m = {k: float(v) for k, v in metrics.items()}
+            if any(np.isnan(v) for v in m.values()):
+                skipped += 1  # NaN val batches skipped+counted (reference :509-519)
+                continue
+            for k, v in m.items():
+                agg[k] = agg.get(k, 0.0) + v
+            n += 1
+        out = {k: v / max(n, 1) for k, v in agg.items()}
+        out["val_batches_skipped_nan"] = skipped
+        out["eval speed - samples per second"] = (
+            len(eval_cache) * train_cfg.batch_size / max(time.time() - t0, 1e-9)
+        )
+        try:
+            import psutil
+
+            out["RAM Available - GB"] = psutil.virtual_memory().available / 1e9
+        except ImportError:
+            pass
+        return out
+
+
+def _metrics_df(metrics: Dict[str, float]):
+    import pandas as pd
+
+    return pd.DataFrame({k: [v] for k, v in metrics.items()})
+
+
+class SingleDeviceTrainingStrategy(PjitTrainingStrategy):
+    """Degenerate 1-device mesh (replaces reference 'one_gpu' stub)."""
+
+    def _mesh(self):
+        return build_mesh(MeshConfig(data=1), devices=jax.devices()[:1])
+
+
+def get_training_strategy(training_strategy_config: TrainingStrategyConfig) -> TrainingStrategy:
+    """Factory — reference ``commons/training_strategy/__init__.py:6-12``."""
+    name = training_strategy_config.name
+    if name == "pjit":
+        return PjitTrainingStrategy(training_strategy_config)
+    if name == "single_device":
+        return SingleDeviceTrainingStrategy(training_strategy_config)
+    raise ValueError(f"Unknown training strategy {name!r}")

@@ -1,0 +1,213 @@
+"""Data pipeline tests: path logic, streaming generator, fixed-shape batches
+(SURVEY.md §4 'fake in-memory DataStore')."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from recommendations_tpu.config.trainer_config import (
+    DataLoaderConfig,
+    FileSystemConfig,
+    TrainDatasetConfig,
+)
+from recommendations_tpu.data import (
+    FakeDataStore,
+    GroupedBatchDataset,
+    HostDataLoader,
+    get_data_loader_strategy,
+    get_date_range_str,
+    get_path_chunks,
+    get_paths_for_worker,
+    get_train_data_paths,
+    get_val_data_paths,
+    get_host_dataloader,
+)
+from recommendations_tpu.features import FeaturesConfig
+from recommendations_tpu.tools.synth_data import make_click_log, _pad_lists
+
+
+def test_date_range():
+    assert get_date_range_str("20240105", 3, backward=True) == [
+        "20240105", "20240104", "20240103",
+    ]
+    assert get_date_range_str("20240105", 2, backward=False) == ["20240105", "20240106"]
+
+
+def test_paths_for_worker_contiguous_with_remainder():
+    paths = [f"p{i}" for i in range(10)]
+    got = [get_paths_for_worker(w, paths, 4) for w in range(4)]
+    assert [len(g) for g in got] == [3, 3, 2, 2]
+    assert sum(got, []) == sorted(paths)
+
+
+def test_path_chunks():
+    chunks = get_path_chunks([f"p{i}" for i in range(7)], block_size=2)
+    assert len(chunks) == 3
+    assert sum(len(c) for c in chunks) == 7
+
+
+def _fs():
+    return FileSystemConfig(kind="fake", path_template="tbl/date={date}")
+
+
+def _dataset_config(**over):
+    base = dict(
+        filesystem_config=_fs(),
+        exclude_dates=[],
+        train_data_ratio=1.0,
+        val_data_ratio=1.0,
+        train_data_end_date="20240102",
+        train_period_in_days=2,
+        val_data_start_date="20240103",
+        val_period_in_days=1,
+    )
+    base.update(over)
+    return TrainDatasetConfig(**base)
+
+
+def _seed_store():
+    FakeDataStore.reset()
+    for date in ["20240101", "20240102", "20240103"]:
+        for p in range(2):
+            df = make_click_log(num_users=8, history_len=8, num_products=50, seed=p)
+            FakeDataStore.put_table(f"tbl/date={date}/part-{p}.parquet", df)
+
+
+def test_train_val_paths_with_excludes():
+    _seed_store()
+    cfg = _dataset_config()
+    assert len(get_train_data_paths(cfg)) == 4  # 2 dates x 2 files
+    assert len(get_val_data_paths(cfg)) == 2
+    cfg2 = _dataset_config(exclude_dates=["20240101"])
+    assert len(get_train_data_paths(cfg2)) == 2
+
+
+def _features(history_len=8):
+    return FeaturesConfig(
+        defaults={
+            "categorical_features": {
+                "default_dtype": "string",
+                "transform_value_to_lowercase": False,
+                "value_to_number_mapper": {"kind": "xxhash"},
+            },
+        },
+        categorical_features=[{"name": "product_id", "kind": "categorical"}],
+        categorical_history_features=[
+            {
+                "name": "product_ids",
+                "kind": "categorical_history",
+                "history_length": history_len,
+                "history_id_feature_name": "product_id",
+                "value_to_number_mapper": {"kind": "xxhash"},
+            }
+        ],
+        tensor_list_features=[
+            {"name": "labels", "kind": "tensor_list", "shape": (history_len,)},
+            {"name": "timestamps", "kind": "tensor_list", "shape": (history_len,)},
+        ],
+    )
+
+
+def test_end_to_end_host_loader_fixed_shapes():
+    _seed_store()
+    feats = _features()
+    # the fake-store tables carry raw (unpadded) lists; re-seed with padded
+    FakeDataStore.reset()
+    for date in ["20240101", "20240102"]:
+        for p in range(2):
+            df = _pad_lists(
+                make_click_log(num_users=8, history_len=8, num_products=50, seed=p), 8
+            )
+            FakeDataStore.put_table(f"tbl/date={date}/part-{p}.parquet", df)
+
+    strategy = get_data_loader_strategy(
+        DataLoaderConfig(block_size=1, max_prefetch=2, shuffle_files=False),
+        columns=feats.get_input_columns(),
+        data_mapper=lambda kind: feats.default_data_mapper,
+    )
+    loader = get_host_dataloader(
+        kind="train",
+        worker_id=0,
+        paths=get_train_data_paths(_dataset_config()),
+        batch_size=4,
+        num_steps=None,
+        data_loader_strategy=strategy,
+        features_config=feats,
+        fs_config=_fs(),
+    )
+    batches = list(loader)
+    assert len(batches) == 8  # 4 files x 8 users / 4
+    for b in batches:
+        assert b["product_ids"].shape == (4, 8)
+        assert b["product_ids"].dtype == np.int64
+        assert b["labels"].shape == (4, 8)
+        assert b["timestamps"].shape == (4, 8)
+        # hashed ids span the full int64 range; pads are 0
+        assert (np.abs(b["product_ids"][b["product_ids"] != 0]) > 2**32).all()
+
+
+def test_generator_shard_filtering():
+    _seed_store()
+    feats = _features()
+    strategy = get_data_loader_strategy(
+        DataLoaderConfig(block_size=1, shuffle_files=False),
+        columns=feats.get_input_columns(),
+        data_mapper=lambda kind: (lambda df: df),
+    )
+    gen = strategy.load("train", 0, get_train_data_paths(_dataset_config()), _fs())
+    gen.set_shard(0, 2)
+    n0 = len(list(gen))
+    gen.set_shard(1, 2)
+    # shard views partition the chunks
+    gen2 = strategy.load("train", 0, get_train_data_paths(_dataset_config()), _fs())
+    gen2.set_shard(1, 2)
+    n1 = len(list(gen2))
+    assert n0 + n1 == 4
+
+
+def test_grouped_dataset_session_grouping():
+    """Group-by + min-size filter + sort (reference torch_data_loader.py:119-141)."""
+    df = pd.DataFrame(
+        {
+            "user": ["a", "a", "a", "b", "c", "c"],
+            "t": [3, 1, 2, 5, 9, 8],
+            "x": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    feats = FeaturesConfig(
+        defaults={},
+        numerical_features=[{"name": "x", "kind": "numerical"}],
+        group_dataset={
+            "group_by_columns": ["user"],
+            "sort_by_columns": ["t"],
+            "sort_reverse": False,
+            "minimum_group_size": 2,
+        },
+    )
+    ds = GroupedBatchDataset(
+        iter([df]), feats, batch_size=5, drop_remainder=True
+    )
+    batches = list(ds)
+    # groups: a (3 rows sorted by t asc), c (2 rows); b filtered (size 1)
+    assert len(batches) == 1
+    np.testing.assert_allclose(batches[0]["x"], [2.0, 3.0, 1.0, 6.0, 5.0])
+
+
+def test_partial_batch_padding_for_val():
+    df = pd.DataFrame({"x": [1.0, 2.0, 3.0]})
+    feats = FeaturesConfig(defaults={}, numerical_features=[{"name": "x", "kind": "numerical"}])
+    ds = GroupedBatchDataset(iter([df]), feats, batch_size=4, drop_remainder=False)
+    [b] = list(ds)
+    assert b["x"].shape == (4,)
+    np.testing.assert_array_equal(b["_pad_mask"], [False, False, False, True])
+
+
+def test_loader_propagates_reader_errors():
+    def bad_gen():
+        yield pd.DataFrame({"x": [1.0]})
+        raise RuntimeError("boom")
+
+    feats = FeaturesConfig(defaults={}, numerical_features=[{"name": "x", "kind": "numerical"}])
+    ds = GroupedBatchDataset(bad_gen(), feats, batch_size=1)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(HostDataLoader(ds))
