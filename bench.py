@@ -52,7 +52,7 @@ def main() -> int:
             rotator_config={"ff_mult": 4},
             is_causal=True,
             num_layers=layers,
-            enable_gradient_checkpointing=False,
+            enable_gradient_checkpointing=True,
             attn_config=SelfAttentionConfig(
                 n_head=max(4, d // 16), n_embd=d, attn_type="multi_query",
                 dropout=0.0, attn_dropout=0.0, bias=False,

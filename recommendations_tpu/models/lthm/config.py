@@ -114,6 +114,8 @@ class TransformerConfig(BaseModel):
     is_sparse_attn: bool = False
     sparsity_factor: float = 0.5
     enable_gradient_checkpointing: bool = False
+    # Pallas blockwise attention (long-context path); requires pos_bias=None
+    use_flash_attention: bool = False
     attn_config: SelfAttentionConfig
     dropout: float = 0.0
     num_layers: int = 2
@@ -174,6 +176,10 @@ class LTHMModelConfig(ModelConfig):
     product_tower: ProductTowerConfig = ProductTowerConfig()
     use_only_updated_data: bool = False
     knn_eval: bool = False
+    # activation/matmul dtype ('bfloat16' | 'float32'); params stay float32
+    # and the loss computes in float32 (replaces the reference's AMP knob,
+    # disabled there for instability — lthm_train.yaml:107-108)
+    compute_dtype: str = "bfloat16"
     # parallelism: shard the product-embedding table rows over the 'model'
     # mesh axis (the flagship TPU capability; no reference equivalent)
     shard_embedding_rows: bool = False

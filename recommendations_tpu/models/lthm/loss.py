@@ -72,24 +72,27 @@ def _head_loss(
     v = valid.reshape(n)
     lq = cand_logq.reshape(n)
 
-    logits = (q @ c.T) / temperature  # (N, N) f32
+    neg = jnp.float32(_BIG_NEG)
+    logits = (q @ c.T) / jnp.float32(temperature)  # (N, N) f32
 
-    user = jnp.repeat(jnp.arange(bc), s)  # flattened slot -> batch row
+    user = jnp.repeat(jnp.arange(bc, dtype=jnp.int32), s)  # slot -> batch row
     same_user = user[:, None] == user[None, :]
     eye = jnp.eye(n, dtype=bool)
     col_invalid = ~v[None, :]
 
-    add_mask = jnp.where(same_user & ~eye, _BIG_NEG, 0.0)
-    add_mask = add_mask + jnp.where(col_invalid, _BIG_NEG, 0.0)
-    logits = logits + add_mask
+    # all literals pinned to f32: under x64, python-float branches would
+    # silently promote these N x N temporaries to float64
+    masked = same_user & ~eye | jnp.broadcast_to(col_invalid, (n, n))
+    logits = jnp.where(masked, neg, logits)
 
     # logQ subtracted per candidate column, zeroed at the positive
     # (reference wrapper.py:167-174)
-    corr = jnp.where(eye, 0.0, beta * lq[None, :])
-    adj = logits - corr
+    adj = jnp.where(
+        eye, logits, logits - jnp.float32(beta) * lq[None, :].astype(jnp.float32)
+    )
 
     # negatives per row = valid, non-masked columns minus the positive
-    num_neg = jnp.sum((add_mask == 0.0), axis=-1) - 1
+    num_neg = jnp.sum((~masked).astype(jnp.int32), axis=-1) - 1
     w = (v & (num_neg > 0)).astype(jnp.float32)
 
     # stable CE at the diagonal
@@ -188,14 +191,18 @@ def contrastive_step(
         agg: Dict[str, jnp.ndarray] = {}
         ranks, weights, min_negs = [], [], []
         n_chunks = len(starts)
+        # remat: the (N,N) logits tile is recomputed in backward instead of
+        # keeping one live per head x chunk (6 heads x 268MB at the base
+        # config would exceed HBM)
+        head_loss_fn = jax.checkpoint(
+            lambda *a: _head_loss(*a, temperature=temperature, beta=beta)
+        )
         for cs in starts:
-            ce_loss, m = _head_loss(
+            ce_loss, m = head_loss_fn(
                 query[cs : cs + chunk],
                 cand[cs : cs + chunk],
                 valid[cs : cs + chunk],
                 cand_logq[cs : cs + chunk],
-                temperature,
-                beta,
             )
             head_loss = head_loss + ce_loss / n_chunks
             ranks.append(m.pop("_rank"))

@@ -101,6 +101,7 @@ class QueryTower(nn.Module):
         tcfg = cfg.transformer_config
         acfg = tcfg.attn_config
         emb_dim = cfg.emb_dim
+        dtype = jnp.dtype(cfg.compute_dtype)
         bsz, orig_s = mask.shape
 
         # static trim to the most recent context_width events
@@ -115,14 +116,17 @@ class QueryTower(nn.Module):
         emb_how = PatternFromTimelocal(3600, 24 * 7, emb_dim, name="time_how")(timestamp)
         emb_dow = PatternFromTimelocal(86400, 7, emb_dim, name="time_dow")(timestamp)
 
-        x = nn.Dense(emb_dim, name="inp_proj")(inp) + emb_action + emb_hod + emb_how + emb_dow
+        x = (
+            nn.Dense(emb_dim, dtype=dtype, name="inp_proj")(inp.astype(dtype))
+            + emb_action + emb_hod + emb_how + emb_dow
+        ).astype(dtype)
 
         pad = self.param(
             "pad",
             nn.initializers.normal(stddev=1.0 / math.sqrt(emb_dim)),
             (1, 1, emb_dim),
         )
-        x = jnp.where(mask[..., None], pad, x)
+        x = jnp.where(mask[..., None], pad.astype(x.dtype), x)
 
         # CLS column + reverse positional ids (most recent event = position 0)
         x = jnp.concatenate([jnp.zeros((bsz, 1, emb_dim), x.dtype), x], axis=1)
@@ -145,7 +149,9 @@ class QueryTower(nn.Module):
             max_block_size=tcfg.max_block_size,
             sparsity_factor=tcfg.sparsity_factor,
             n_cls=1,
+            use_flash=tcfg.use_flash_attention,
             remat=tcfg.enable_gradient_checkpointing,
+            dtype=dtype,
             name="transformer",
         )
         x = stack(x, deterministic=deterministic)
@@ -158,9 +164,14 @@ class QueryTower(nn.Module):
         )
         x = x + FlatEmbedding(4, emb_dim, name="outcome_conditioning")(outcomes)
 
-        # one linear head per lookahead horizon → (B, S+1, K, D_prod)
+        # one linear head per lookahead horizon → (B, S+1, K, D_prod);
+        # heads output float32 for the contrastive loss
+        x = x.astype(dtype)
         heads = [
-            nn.Dense(cfg.product_tower.product_emb_dim, use_bias=False, name=f"emb_head_{i}")(x)
+            nn.Dense(
+                cfg.product_tower.product_emb_dim, use_bias=False,
+                dtype=dtype, name=f"emb_head_{i}",
+            )(x).astype(jnp.float32)
             for i in range(cfg.export_tokens)
         ]
         y = jnp.stack(heads, axis=2)
@@ -173,7 +184,7 @@ class QueryTower(nn.Module):
         }
 
 
-class LTHMEncoder(nn.Module):
+class LTHMEncoder(nn.Module):  # noqa: D101  (docstring below)
     """Full LTHM forward: product embeddings → towers.
 
     Reference ``models/lthm/sequence/encoder.py:19-61``.  The product
@@ -188,6 +199,8 @@ class LTHMEncoder(nn.Module):
     ids_key: str = "product_ids"
     labels_key: str = "labels"
     timestamp_key: str = "timestamps"
+    # mesh for row-sharded product-embedding tables (config.shard_embedding_rows)
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -207,6 +220,19 @@ class LTHMEncoder(nn.Module):
                 features=tc.inp_emb_dim,
                 num_shifts=tc.latent_model_config.num_shifts_latent,
                 normalize_output=tc.latent_model_config.normalize_embedding,
+                name="product_emb_module",
+            )(ids)
+        elif cfg.shard_embedding_rows and self.mesh is not None:
+            from recommendations_tpu.parallel.sharded_embedding import (
+                ShardedKShiftEmbedding,
+            )
+
+            embs = ShardedKShiftEmbedding(
+                num_embeddings=tc.latent_model_config.vocab_size_latent,
+                features=tc.inp_emb_dim,
+                num_shifts=tc.latent_model_config.num_shifts_latent,
+                normalize_output=tc.latent_model_config.normalize_embedding,
+                mesh=self.mesh,
                 name="product_emb_module",
             )(ids)
         else:

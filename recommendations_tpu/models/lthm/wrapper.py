@@ -32,6 +32,12 @@ class LTHMModelWrapper(BaseModelWrapper):
         self.stats = stats
         self.module = LTHMEncoder(model_config)
 
+    def bind_mesh(self, mesh) -> None:
+        """Attach the device mesh (needed for row-sharded embedding tables;
+        called by the training strategy before compiling the step)."""
+        if self.config.shard_embedding_rows:
+            self.module = LTHMEncoder(self.config, mesh=mesh)
+
     # ----- dtype contract (reference wrapper.py:48-64) -----------------------
 
     def format_inputs(self, batch: Batch) -> Batch:

@@ -103,7 +103,18 @@ class _AttentionBase(nn.Module):
     dropout: float = 0.0
     use_bias: bool = True
     pos_bias_window: Optional[int] = None  # context_window incl. CLS, or None
+    # Pallas blockwise attention (ops/flash_attention): used when no additive
+    # mask / relative position bias is required; O(T) memory for long seqs
+    use_flash: bool = False
     dtype: Optional[jnp.dtype] = None
+
+    def _maybe_flash(self, q, k, v, mask, causal):
+        """Returns flash output or None when the XLA path must be used."""
+        if not self.use_flash or mask is not None or self.pos_bias_window is not None:
+            return None
+        from recommendations_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal)
 
     def _pos_bias(self) -> Optional[nn.Module]:
         if self.pos_bias_window is None:
@@ -140,6 +151,7 @@ class MultiQueryAttention(_AttentionBase):
         x: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        causal: bool = False,
     ) -> jnp.ndarray:
         b, t, _ = x.shape
         hd = self.n_embd // self.n_head
@@ -152,7 +164,11 @@ class MultiQueryAttention(_AttentionBase):
         k = (k_do * jnp.transpose(k.reshape(b, t, 1, hd), (0, 2, 1, 3))).astype(x.dtype)
         v = (v_do * jnp.transpose(v.reshape(b, t, 1, hd), (0, 2, 1, 3))).astype(x.dtype)
 
-        y = _sdpa(q, k, v, mask, self._pos_bias())
+        y = self._maybe_flash(q, k, v, mask, causal)
+        if y is None:
+            if causal and mask is None:
+                mask = causal_mask(t)
+            y = _sdpa(q, k, v, mask, self._pos_bias())
         y = jnp.transpose(y, (0, 2, 1, 3)).reshape(b, t, self.n_embd)
         y = nn.Dense(self.n_embd, use_bias=self.use_bias, dtype=self.dtype, name="out_proj")(y)
         return nn.Dropout(self.dropout, deterministic=deterministic)(y)
@@ -167,6 +183,7 @@ class MultiHeadAttention(_AttentionBase):
         x: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        causal: bool = False,
     ) -> jnp.ndarray:
         b, t, _ = x.shape
         hd = self.n_embd // self.n_head
@@ -178,7 +195,11 @@ class MultiHeadAttention(_AttentionBase):
         k = (k_do * jnp.transpose(k.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
         v = (v_do * jnp.transpose(v.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
 
-        y = _sdpa(q, k, v, mask, self._pos_bias())
+        y = self._maybe_flash(q, k, v, mask, causal)
+        if y is None:
+            if causal and mask is None:
+                mask = causal_mask(t)
+            y = _sdpa(q, k, v, mask, self._pos_bias())
         y = jnp.transpose(y, (0, 2, 1, 3)).reshape(b, t, self.n_embd)
         y = nn.Dense(self.n_embd, use_bias=self.use_bias, dtype=self.dtype, name="c_proj")(y)
         return nn.Dropout(self.dropout, deterministic=deterministic)(y)

@@ -145,6 +145,7 @@ class TransformerBlock(nn.Module):
     sparsity_factor: float = 0.5
     sparse_seed: int = 0
     n_cls: int = 0
+    use_flash: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def _attn(self):
@@ -156,6 +157,7 @@ class TransformerBlock(nn.Module):
             dropout=self.dropout,
             use_bias=self.use_bias,
             pos_bias_window=self.pos_bias_window,
+            use_flash=self.use_flash,
             dtype=self.dtype,
             name="attn",
         )
@@ -216,13 +218,23 @@ class TransformerBlock(nn.Module):
             if attn_mask is not None:
                 attn_mask = attn_mask[:, :, idx, :][:, :, :, idx]
 
-        if self.is_causal:
+        # flash path handles causality inside the kernel; the XLA path gets
+        # the additive mask
+        flash_ok = (
+            self.use_flash
+            and attn_mask is None
+            and self.pos_bias_window is None
+        )
+        if self.is_causal and not flash_ok:
             cm = causal_mask(x.shape[1])
             attn_mask = cm if attn_mask is None else attn_mask + cm
 
         ln1 = nn.LayerNorm(use_bias=self.use_bias, epsilon=1e-5, dtype=self.dtype, name="ln_1")
         ln2 = nn.LayerNorm(use_bias=self.use_bias, epsilon=1e-5, dtype=self.dtype, name="ln_2")
-        x = x + self._attn()(ln1(x), mask=attn_mask, deterministic=deterministic)
+        x = x + self._attn()(
+            ln1(x), mask=attn_mask, deterministic=deterministic,
+            causal=self.is_causal and flash_ok,
+        )
         x = x + self._mlp(ln2(x), deterministic)
 
         if not self.is_sparse_attn:
@@ -255,6 +267,7 @@ class TransformerStack(nn.Module):
     max_block_size: Optional[int] = None
     sparsity_factor: float = 0.5
     n_cls: int = 0
+    use_flash: bool = False
     remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -285,6 +298,7 @@ class TransformerStack(nn.Module):
                 sparsity_factor=self.sparsity_factor,
                 sparse_seed=depth,
                 n_cls=self.n_cls,
+                use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"block_{depth}",
             )

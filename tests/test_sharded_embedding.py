@@ -1,0 +1,87 @@
+"""Row-sharded embedding parity on a virtual 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from recommendations_tpu.core.mesh import MeshConfig, build_mesh
+from recommendations_tpu.nn.embeddings import KShiftEmbedding, kshift_row_indices
+from recommendations_tpu.parallel.sharded_embedding import (
+    ShardedKShiftEmbedding,
+    sharded_embedding_lookup,
+    sharded_kshift_lookup,
+)
+
+
+def _mesh(model=4):
+    return build_mesh(MeshConfig(data=-1, model=model))
+
+
+def _ids(n=16, seed=3):
+    rs = np.random.RandomState(seed)
+    return jnp.asarray(rs.randint(-(2**62), 2**62, size=(n, 6), dtype=np.int64))
+
+
+def test_sharded_kshift_matches_dense():
+    mesh = _mesh(model=4)
+    n_emb, d, k = 1024, 32, 5
+    table = jax.random.normal(jax.random.PRNGKey(0), (n_emb, d), jnp.float32)
+    ids = _ids()
+    sharded_table = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    sharded_ids = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+
+    got = jax.jit(
+        lambda t, i: sharded_kshift_lookup(t, i, mesh, num_shifts=k)
+    )(sharded_table, sharded_ids)
+
+    idx = np.asarray(kshift_row_indices(ids, n_emb, k))
+    want = np.asarray(table)[idx].sum(axis=-2) / np.sqrt(k)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_kshift_normalized():
+    mesh = _mesh(model=2)
+    table = jax.random.normal(jax.random.PRNGKey(0), (512, 16), jnp.float32)
+    ids = _ids(8)
+    got = np.asarray(
+        sharded_kshift_lookup(
+            jax.device_put(table, NamedSharding(mesh, P("model", None))),
+            jax.device_put(ids, NamedSharding(mesh, P("data", None))),
+            mesh, num_shifts=4, normalize_output=True,
+        )
+    )
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_sharded_plain_lookup_matches_dense():
+    mesh = _mesh(model=4)
+    n_emb = 640
+    table = jax.random.normal(jax.random.PRNGKey(1), (n_emb, 8), jnp.float32)
+    ids = _ids(8)
+    got = np.asarray(
+        sharded_embedding_lookup(
+            jax.device_put(table, NamedSharding(mesh, P("model", None))),
+            jax.device_put(ids, NamedSharding(mesh, P("data", None))),
+            mesh,
+        )
+    )
+    want = np.asarray(table)[np.asarray(ids) % n_emb]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_sharded_module_parity_with_dense_module():
+    """ShardedKShiftEmbedding == KShiftEmbedding given the same table."""
+    mesh = _mesh(model=2)
+    n_emb, d, k = 512, 16, 4
+    ids = _ids(8)
+    dense = KShiftEmbedding(num_embeddings=n_emb, features=d, num_shifts=k)
+    dvs = dense.init(jax.random.PRNGKey(0), ids)
+    sharded = ShardedKShiftEmbedding(
+        num_embeddings=n_emb, features=d, num_shifts=k, mesh=mesh
+    )
+    svs = {"params": {"embedding": dvs["params"]["embedding"]}}
+    got = sharded.apply(svs, ids)
+    want = dense.apply(dvs, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
