@@ -54,7 +54,20 @@ class LTHMModelWrapper(BaseModelWrapper):
     # ----- init / forward ----------------------------------------------------
 
     def init_variables(self, rng: jax.Array, batch: Batch) -> Dict[str, Any]:
-        return self.module.init(rng, self.format_inputs(batch), deterministic=True)
+        variables = self.module.init(rng, self.format_inputs(batch), deterministic=True)
+        meta = self.config.product_tower.model_init_metadata
+        if meta is not None:
+            # splice the trained compressed-embedding module into the frozen
+            # constants (reference loads a TorchScript module from S3,
+            # encoder.py:26-29; here an Orbax artifact directory)
+            from recommendations_tpu.models.lthm.pretrained import (
+                load_pretrained_constants,
+            )
+            from recommendations_tpu.tools.embedding_module_gen import load_artifact
+
+            artifact = load_artifact(meta.embedding_module_path)
+            variables = load_pretrained_constants(dict(variables), artifact)
+        return variables
 
     def init_aux_state(self) -> LTHMAuxState:
         lq = self.config.log_q_config

@@ -1,0 +1,60 @@
+"""Golden-config tests: every shipped YAML must compose, validate, and build
+its model (SURVEY.md §4 — 'this alone would have caught defects 1-7')."""
+
+import glob
+import os
+
+import pytest
+
+from recommendations_tpu.config.yaml_loader import (
+    compose_config,
+    load_config,
+    parse_cli_overrides,
+)
+
+CONFIG_ROOT = os.path.join(os.path.dirname(__file__), "..", "configs")
+TOP_LEVEL = sorted(
+    p for p in glob.glob(os.path.join(CONFIG_ROOT, "*.yaml"))
+)
+
+
+@pytest.mark.parametrize("path", TOP_LEVEL, ids=[os.path.basename(p) for p in TOP_LEVEL])
+def test_config_validates_and_builds(path):
+    cfg = load_config(path, search_paths=[CONFIG_ROOT])
+    assert cfg.model_version
+    wrapper = cfg.model.get_builder(stats=None).build()
+    assert wrapper is not None
+    # the feature system must have compiled transformers
+    assert cfg.model.features.get_input_columns()
+
+
+def test_overrides_and_interpolation():
+    overrides = parse_cli_overrides(["train.train_steps=7", "model.lr=0.01"])
+    cfg = load_config(
+        os.path.join(CONFIG_ROOT, "lthm_tiny.yaml"),
+        overrides=overrides,
+        search_paths=[CONFIG_ROOT],
+    )
+    assert cfg.train.train_steps == 7
+    assert cfg.model.lr == 0.01
+    # ${datestr} interpolation resolved
+    assert cfg.dataset.train_data_end_date == "20240101"
+
+
+def test_resolvers():
+    data = compose_config(os.path.join(CONFIG_ROOT, "lthm_train.yaml"), search_paths=[CONFIG_ROOT])
+    # day_before_days resolves to a YYYYMMDD string
+    assert len(data["datestr"]) == 8 and data["datestr"].isdigit()
+    assert data["run_id"].startswith("run_")
+
+
+def test_no_eval_resolver():
+    """The reference's ${eval:} python-eval resolver (SURVEY.md §2.5#16) must
+    not exist."""
+    import tempfile, yaml
+
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
+        f.write("x: \"${eval: 2 ** 24}\"\n")
+        path = f.name
+    with pytest.raises(KeyError, match="Unknown resolver"):
+        compose_config(path)
