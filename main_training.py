@@ -36,7 +36,13 @@ CONFIG_ROOT = Path(__file__).parent / "configs"
 
 
 def execute_pipeline(cfg) -> dict:
-    model_builder = cfg.model.get_builder(stats=None)
+    stats = None
+    if getattr(cfg, "stats", None) is not None and cfg.stats.compute_stats:
+        from recommendations_tpu.data.paths import get_train_data_paths
+        from recommendations_tpu.pipeline.stats import compute_stats_for_pipeline
+
+        stats = compute_stats_for_pipeline(cfg, get_train_data_paths(cfg.dataset))
+    model_builder = cfg.model.get_builder(stats=stats)
     data_loader_strategy = get_data_loader_strategy(
         cfg.data_loader,
         columns=cfg.model.features.get_input_columns(),

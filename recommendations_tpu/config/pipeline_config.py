@@ -47,6 +47,7 @@ class TrainerPipelineConfig(BaseModel):
     data_loader: DataLoaderConfig = DataLoaderConfig()
     training_strategy: TrainingStrategyConfig = PjitTrainingStrategyConfig()
     trackers: Any = None  # validated lazily to avoid circular import
+    stats: Any = None  # StatsConfig; validated lazily
 
     def __init__(self, **kwargs):
         model_cfg = kwargs.get("model")
@@ -65,6 +66,12 @@ class TrainerPipelineConfig(BaseModel):
                     f"Unknown training strategy '{name}'; known: {sorted(training_strategy_registry)}"
                 )
             kwargs["training_strategy"] = ts_cls(**ts)
+
+        st = kwargs.get("stats")
+        if isinstance(st, dict):
+            from recommendations_tpu.pipeline.stats import StatsConfig
+
+            kwargs["stats"] = StatsConfig(**st)
 
         trackers = kwargs.get("trackers")
         if trackers is None or isinstance(trackers, dict):

@@ -43,6 +43,10 @@ class PjitTrainingStrategyConfig(TrainingStrategyConfig):
     # donate the train-state buffers to the step (in-place updates on device)
     donate_state: bool = True
     timeout: int = 300
+    # jax.profiler trace capture window (None disables)
+    profile_dir: str | None = None
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
 
 
 class SingleDeviceTrainingStrategyConfig(TrainingStrategyConfig):

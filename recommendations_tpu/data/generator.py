@@ -38,9 +38,11 @@ class SimpleDatasetGenerator:
         shuffle_files: bool = True,
         shuffle_data: bool = False,
         seed: Optional[int] = None,
+        max_readers: int = 1,
     ):
         self.kind = kind
         self.worker_id = worker_id
+        self.max_readers = max_readers
         self.columns = columns
         self.data_mapper = data_mapper
         self.fs_config = fs_config
@@ -62,25 +64,45 @@ class SimpleDatasetGenerator:
             c for i, c in enumerate(self.path_chunks) if i % self.num_shards == self.shard_id
         ]
 
+    def __init_reader_pool(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        return ThreadPoolExecutor(max_workers=max(1, self.max_readers))
+
+    def _read_one(self, store, mapper, path):
+        df = store.read_single_parquet_file(path, columns=self.columns)
+        if df is None:
+            return None
+        try:
+            return mapper(df)
+        except Exception:
+            logger.exception("data mapper failed on %s", path)
+            return None
+
     def __iter__(self) -> Iterator[pd.DataFrame]:
         mapper = self.data_mapper(self.kind)
         store = DataStoreAccessor.get_instance(self.fs_config)
-        for chunk in self.filtered_path_chunks:
-            dfs = []
-            for path in chunk:
-                df = store.read_single_parquet_file(path, columns=self.columns)
-                if df is None:
-                    continue
-                try:
-                    dfs.append(mapper(df))
-                except Exception:
-                    logger.exception("data mapper failed on %s", path)
-            if dfs:
-                df = pd.concat(dfs, axis=0)
-                if self.shuffle_data:
-                    yield df.sample(frac=1.0, random_state=self._seed)
+        pool = self.__init_reader_pool() if self.max_readers > 1 else None
+        try:
+            for chunk in self.filtered_path_chunks:
+                if pool is not None:
+                    dfs = [d for d in pool.map(
+                        lambda p: self._read_one(store, mapper, p), chunk
+                    ) if d is not None]
                 else:
-                    yield df
+                    dfs = [
+                        d for d in (self._read_one(store, mapper, p) for p in chunk)
+                        if d is not None
+                    ]
+                if dfs:
+                    df = pd.concat(dfs, axis=0)
+                    if self.shuffle_data:
+                        yield df.sample(frac=1.0, random_state=self._seed)
+                    else:
+                        yield df
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
 
 class DataLoaderStrategy(abc.ABC):
@@ -113,6 +135,7 @@ class SimpleDataLoaderStrategy(DataLoaderStrategy):
             fs_config=fs_config,
             shuffle_files=self.data_loader_config.shuffle_files,
             shuffle_data=self.data_loader_config.shuffle_data,
+            max_readers=self.data_loader_config.max_readers,
         )
 
 

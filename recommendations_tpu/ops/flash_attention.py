@@ -13,6 +13,11 @@ KV head index map.
 
 Shapes: q (B, H, T, D), k/v (B, KVH, T, D) with KVH ∈ {1, H}.  D is padded
 to the 128-lane minimum internally.  Accumulation in float32.
+
+Runtime note: some restricted TPU runtimes (e.g. remote-compile tunnels)
+cannot lower *gridded* pallas_call at all; the kernel is then unavailable and
+``use_flash_attention`` must stay off (the XLA path is the default).  The
+kernel is exact-tested against a dense reference in interpret mode.
 """
 
 from __future__ import annotations
@@ -29,50 +34,40 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, tile_q, tile_k, seq_len, causal, scale):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, tile_q, seq_len, causal, scale):
+    """Per-q-tile attention against the full K/V rows resident in VMEM.
+
+    The (TQ, T) logits tile lives only in VMEM — HBM never sees a T x T
+    tensor (the XLA path materializes (B, H, T, T) in HBM).  Straight-line
+    code (no loop carries) keeps Mosaic's lowering happy; every scalar is
+    pinned f32/i32 because x64 weak promotion would create f64/i64 ops that
+    Mosaic cannot legalize.
+    """
     iq = pl.program_id(2)
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (TQ, D)
+    q = q_ref[0, 0].astype(jnp.float32) * jnp.float32(scale)  # (TQ, D)
+    k = k_ref[0, 0].astype(jnp.float32)  # (T_pad, D)
+    v = v_ref[0, 0].astype(jnp.float32)
 
-    m = jnp.full((tile_q, 1), NEG_INF, jnp.float32)
-    l = jnp.zeros((tile_q, 1), jnp.float32)
-    acc = jnp.zeros_like(q)
-
-    q_pos = iq * tile_q + jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 0)
-
-    num_k_tiles = pl.cdiv(seq_len, tile_k)
-    # causal: tiles strictly above the diagonal contribute nothing
-    last_tile = (
-        jnp.minimum(num_k_tiles, (iq + 1) * tile_q // tile_k + 1)
-        if causal
-        else num_k_tiles
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TQ, T_pad)
+    t_pad = s.shape[1]
+    q_pos = iq * jnp.int32(tile_q) + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_q, t_pad), 0
     )
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (tile_q, t_pad), 1)
+    mask = k_pos < jnp.int32(seq_len)
+    if causal:
+        mask = mask & (k_pos <= q_pos)
+    s = jnp.where(mask, s, jnp.float32(NEG_INF))
 
-    def body(ik, carry):
-        m_i, l_i, acc_i = carry
-        k_tile = k_ref[0, 0, pl.ds(ik * tile_k, tile_k), :].astype(jnp.float32)
-        v_tile = v_ref[0, 0, pl.ds(ik * tile_k, tile_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k_tile, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (TQ, TK)
-        k_pos = ik * tile_k + jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 1)
-        mask = k_pos < seq_len
-        if causal:
-            mask = mask & (k_pos <= q_pos)
-        s = jnp.where(mask, s, NEG_INF)
-
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_i - m_new)
-        l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = alpha * acc_i + jax.lax.dot_general(
-            p, v_tile, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc_new
-
-    m, l, acc = jax.lax.fori_loop(0, last_tile, body, (m, l, acc))
-    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = (o / jnp.maximum(l, jnp.float32(1e-30))).astype(o_ref.dtype)
 
 
 def flash_attention(
@@ -108,7 +103,6 @@ def flash_attention(
     kernel = functools.partial(
         _attn_kernel,
         tile_q=tile_q,
-        tile_k=tile_k,
         seq_len=t,
         causal=causal,
         scale=scale,
@@ -132,8 +126,10 @@ def flash_attention(
             memory_space=pltpu.VMEM,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.2 * (2 * t_pad * d_pad + 2 * tile_q * d_pad) * 4)
-            + 2 * tile_q * tile_k * 4,
+            vmem_limit_bytes=int(
+                1.5 * (2 * t_pad * d_pad * 4 + 2 * tile_q * t_pad * 4 + 2 * tile_q * d_pad * 4)
+            )
+            + (1 << 20),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * t * t * d * (1 if causal else 2) // (2 if causal else 1),

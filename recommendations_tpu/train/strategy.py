@@ -254,6 +254,11 @@ class PjitTrainingStrategy(TrainingStrategy):
         batch_nb = 0
         train_start = None
         stop_all = False
+        # jax.profiler trace capture (replaces the reference's trace flag +
+        # throughput counters, SURVEY.md §5 'tracing/profiling')
+        profile_dir = getattr(self.config, "profile_dir", None)
+        profile_start = getattr(self.config, "profile_start_step", 10)
+        profile_steps = getattr(self.config, "profile_num_steps", 5)
 
         for epoch in range(train_cfg.epochs):
             if stop_all:
@@ -272,8 +277,14 @@ class PjitTrainingStrategy(TrainingStrategy):
                     train_start = time.time()
 
                 batch = device_put_batch(host_batch, mesh)
+                if profile_dir and batch_nb == profile_start:
+                    jax.profiler.start_trace(profile_dir)
                 state, loss, metrics = train_step(state, batch)
                 batch_nb += 1
+                if profile_dir and batch_nb == profile_start + profile_steps:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace written to %s", profile_dir)
                 global_num_samples += train_cfg.batch_size * n_hosts
 
                 if batch_nb % train_cfg.train_metrics_every_n_steps == 0:

@@ -211,3 +211,22 @@ def test_loader_propagates_reader_errors():
     ds = GroupedBatchDataset(bad_gen(), feats, batch_size=1)
     with pytest.raises(RuntimeError, match="boom"):
         list(HostDataLoader(ds))
+
+
+def test_stats_quantiles():
+    """Streaming histogram quantiles vs np.quantile on a normal sample
+    (the stats job the reference configures but never wrote)."""
+    import pandas as pd
+    from recommendations_tpu.pipeline.stats import StatsConfig, compute_stats
+
+    rs = np.random.RandomState(0)
+    frames = [pd.DataFrame({"price": rs.randn(5000) * 10 + 50}) for _ in range(4)]
+    stats = compute_stats(
+        StatsConfig(compute_stats=True, num_bins=400, num_quantiles=20),
+        ["price"],
+        iter(frames),
+    )
+    got = np.asarray(stats["price"])
+    allv = np.concatenate([f["price"].values for f in frames])
+    want = np.quantile(allv, np.linspace(0, 1, 21)[1:-1])
+    np.testing.assert_allclose(got, want, atol=0.5)
