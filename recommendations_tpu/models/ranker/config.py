@@ -47,6 +47,9 @@ class RankerModelConfig(ModelConfig):
             + self.features.timestamp_features
             + self.features.one_hot_string_features
             + self.features.lat_lng_features
+            # beyond the reference's list (models/ranker/config.py:29-31):
+            # dense tensor features, e.g. upstream LTHM user embeddings
+            + self.features.tensor_features
         )
         return [f.name for f in feats if f.tower_name.value == tower]
 
