@@ -125,15 +125,24 @@ def main() -> int:
             loss,
         )
 
+    # param-checksum fetch: a host device_get is the only reliable execution
+    # barrier on tunneled runtimes (block_until_ready can report early there)
+    checksum = jax.jit(
+        lambda s: jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x)), s.params,
+            jnp.asarray(0.0, jnp.float32),
+        )
+    )
+
     # warmup / compile
     state, loss = train_step(state, dbatch)
-    jax.block_until_ready(loss)
+    float(checksum(state))
 
     steps = 20 if on_tpu else 3
     t0 = time.time()
     for _ in range(steps):
         state, loss = train_step(state, dbatch)
-    jax.block_until_ready(loss)
+    float(checksum(state))
     elapsed = time.time() - t0
 
     n_chips = len(jax.devices())

@@ -95,13 +95,19 @@ def run(use_flash: bool, seq: int = 1024, batch: int = 16, layers: int = 6, d: i
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, state.constants, new_opt, new_aux, state.step + 1, rng), loss
 
+    checksum = jax.jit(
+        lambda s: jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x)), s.params,
+            jnp.asarray(0.0, jnp.float32),
+        )
+    )
     state, loss = train_step(state, dbatch)
-    jax.block_until_ready(loss)
+    float(checksum(state))
     steps = 10
     t0 = time.time()
     for _ in range(steps):
         state, loss = train_step(state, dbatch)
-    jax.block_until_ready(loss)
+    float(checksum(state))
     dt = time.time() - t0
     eps = steps * batch / dt / len(jax.devices())
     print(json.dumps({
