@@ -33,6 +33,30 @@ def _take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(table, idx.astype(jnp.int32), axis=0)
 
 
+# Below this row count, embedding lookups run as one-hot matmuls instead of
+# gathers: the forward rides the MXU and — decisively — the backward becomes
+# a matmul instead of a serialized TPU scatter-add (ablations showed the
+# scatter-add backward of small-table gathers dominating the LTHM step).
+ONEHOT_LOOKUP_MAX_ROWS = 4096
+
+
+def onehot_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] via one-hot @ table (idx values must be in-range)."""
+    n = table.shape[0]
+    oh = (idx[..., None].astype(jnp.int32) == jnp.arange(n, dtype=jnp.int32)).astype(
+        table.dtype
+    )
+    return jnp.einsum(
+        "...n,nd->...d", oh, table, preferred_element_type=jnp.float32
+    ).astype(table.dtype)
+
+
+def small_table_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    if table.shape[0] <= ONEHOT_LOOKUP_MAX_ROWS:
+        return onehot_lookup(table, idx)
+    return _take_rows(table, idx)
+
+
 class FlatEmbedding(nn.Module):
     """Remainder-hashed full-range-int64 embedding.
 
@@ -59,7 +83,7 @@ class FlatEmbedding(nn.Module):
         if not jnp.issubdtype(jnp.asarray(ids).dtype, jnp.integer):
             raise TypeError(f"hash ids must be integers, got {jnp.asarray(ids).dtype}")
         idx = jnp.mod(ids.astype(jnp.int64), self.num_embeddings)
-        x = _take_rows(table, idx)
+        x = small_table_lookup(table, idx)
         if self.normalize_output:
             x = l2_normalize(x)
         return x
@@ -182,7 +206,7 @@ class HistogramEmbedding(nn.Module):
         idx = jnp.clip(
             jnp.floor(frac * self.num_bins).astype(jnp.int32), 0, self.num_bins - 1
         )
-        return jnp.take(table, idx, axis=0)
+        return small_table_lookup(table, idx)
 
 
 class PatternFromTimelocal(nn.Module):
@@ -210,7 +234,7 @@ class PatternFromTimelocal(nn.Module):
             (self.mod, self.features),
             self.param_dtype,
         )
-        return jnp.take(table, idx, axis=0)
+        return small_table_lookup(table, idx)
 
 
 class NAImputationPlusQuantileEmbedding(nn.Module):

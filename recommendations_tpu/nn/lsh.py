@@ -91,11 +91,20 @@ class CosineVectorEmbedding(nn.Module):
             self.param_dtype,
         )
         z = l2_normalize(x) @ proj  # (..., n_proj)
-        buckets = _bucketize(z, grid)
-        offsets = (self.num_bins + 1) * jnp.arange(self.n_proj, dtype=jnp.int32)
-        idx = buckets.astype(jnp.int32) + offsets
-        rows = jnp.take(table, idx, axis=0)  # (..., n_proj, d)
-        return jnp.sum(rows, axis=-2)
+        buckets = _bucketize(z, grid).astype(jnp.int32)  # values in [0, nb+1)
+        # EmbeddingBag(sum) as ONE one-hot matmul: each projection owns a
+        # disjoint (num_bins+1)-class slice, so the (..., n_proj, nb+1)
+        # indicator reshaped to (..., classes) matmuls the whole table.  The
+        # MXU does the forward and the backward is the transposed matmul —
+        # no serialized scatter-add (this was the LTHM step's hotspot).
+        nb1 = self.num_bins + 1
+        onehot = (
+            buckets[..., None] == jnp.arange(nb1, dtype=jnp.int32)
+        ).astype(table.dtype)
+        onehot = onehot.reshape(*buckets.shape[:-1], self.n_proj * nb1)
+        return jnp.einsum(
+            "...n,nd->...d", onehot, table, preferred_element_type=jnp.float32
+        ).astype(table.dtype)
 
 
 class QuantileMapper(nn.Module):

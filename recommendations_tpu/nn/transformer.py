@@ -269,6 +269,10 @@ class TransformerStack(nn.Module):
     n_cls: int = 0
     use_flash: bool = False
     remat: bool = False
+    # 'full' recomputes everything; 'dots' saves matmul outputs and only
+    # recomputes elementwise ops in backward (≈25% fewer step FLOPs for
+    # ~B*T*5d extra bytes per layer)
+    remat_policy: str = "dots"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -281,7 +285,12 @@ class TransformerStack(nn.Module):
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         block_cls = TransformerBlock
         if self.remat:
-            block_cls = nn.remat(TransformerBlock, static_argnums=(3,))
+            policy = (
+                jax.checkpoint_policies.dots_saveable
+                if self.remat_policy == "dots"
+                else None
+            )
+            block_cls = nn.remat(TransformerBlock, static_argnums=(3,), policy=policy)
         for depth in range(self.num_layers):
             block = block_cls(
                 n_embd=self.n_embd,

@@ -26,12 +26,17 @@ def make_click_log(
     num_products: int = 2000,
     num_clusters: int = 16,
     seed: int = 0,
+    structure_seed: int = 777,
 ) -> pd.DataFrame:
-    rng = np.random.RandomState(seed)
-    cluster_of_product = rng.randint(0, num_clusters, size=num_products)
+    # the product->cluster structure is GLOBAL (fixed structure_seed): every
+    # file/date shares the same catalog dynamics, so models can generalize
+    # from train dates to val dates; `seed` varies only users and noise
+    struct = np.random.RandomState(structure_seed)
+    cluster_of_product = struct.randint(0, num_clusters, size=num_products)
     products_by_cluster = [
         np.where(cluster_of_product == c)[0] for c in range(num_clusters)
     ]
+    rng = np.random.RandomState(seed)
     # per-cluster ring order: strong sequential signal inside a cluster
     rows = []
     base_ts = 1_700_000_000
@@ -111,14 +116,18 @@ def make_ranking_log(
     num_products: int = 500,
     num_users: int = 200,
     seed: int = 0,
+    structure_seed: int = 777,
 ) -> pd.DataFrame:
     """Synthetic tabular impression log for the ranker config (BASELINE
     config 2): click/conversion labels depend on latent product quality and
-    user-product affinity, so AUC must rise above 0.5 during training."""
+    user-product affinity, so AUC must rise above 0.5 during training.
+    Latent quality/bias/affinity come from the fixed structure_seed so they
+    are consistent across files/dates (val stays predictable)."""
+    struct = np.random.RandomState(structure_seed)
+    quality = struct.randn(num_products) * 1.2
+    user_bias = struct.randn(num_users) * 0.6
+    affinity = struct.randn(num_users, 8) @ struct.randn(8, num_products) * 0.15
     rng = np.random.RandomState(seed)
-    quality = rng.randn(num_products) * 1.2
-    user_bias = rng.randn(num_users) * 0.6
-    affinity = rng.randn(num_users, 8) @ rng.randn(8, num_products) * 0.15
     p_idx = rng.randint(0, num_products, num_rows)
     u_idx = rng.randint(0, num_users, num_rows)
     price = np.abs(rng.randn(num_rows) * 40 + 30).astype(np.float32)
