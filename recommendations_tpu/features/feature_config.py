@@ -421,13 +421,14 @@ class FeaturesConfig(BaseModel):
     extra_input_fields: List[Feature] = Field(default_factory=list)
     group_dataset: Optional[GroupDatasetConfig] = None
 
-    # compiled in __init__
-    input_columns: List[str] = Field(default_factory=list)
-    input_to_feature_map: Dict[str, List[Feature]] = Field(default_factory=dict)
-    features_map: Dict[str, Feature] = Field(default_factory=dict)
-    dtypes: Dict[str, str] = Field(default_factory=dict)
-    dtypes_string_map: Dict[str, str] = Field(default_factory=dict)
-    transformers: List[Callable[[pd.DataFrame], None]] = Field(default_factory=list)
+    # compiled in __init__ (excluded from serialization: recomputed on load,
+    # and the transformer list holds callables)
+    input_columns: List[str] = Field(default_factory=list, exclude=True)
+    input_to_feature_map: Dict[str, List[Feature]] = Field(default_factory=dict, exclude=True)
+    features_map: Dict[str, Feature] = Field(default_factory=dict, exclude=True)
+    dtypes: Dict[str, str] = Field(default_factory=dict, exclude=True)
+    dtypes_string_map: Dict[str, str] = Field(default_factory=dict, exclude=True)
+    transformers: List[Callable[[pd.DataFrame], None]] = Field(default_factory=list, exclude=True)
 
     def __init__(self, **kwargs):
         for field in ["extra_eval_output_fields", "extra_input_fields"]:

@@ -157,10 +157,18 @@ class LTHMModelWrapper(BaseModelWrapper):
     # ----- export ------------------------------------------------------------
 
     def inference_models(self) -> Dict[str, Any]:
-        """'user_encoder' maps a batch to user/next-item embeddings;
-        'product_encoder' maps ids to retrieval-space product embeddings."""
+        """Serving entry points (replace TorchScript ``inference_models``):
+        - 'user_encoder': batch → L2-normalized per-user retrieval query
+          vectors (most recent position, lookahead-0 head) — what a vector
+          index queries with;
+        - 'sequence_encoder': the full forward (all positions/horizons)."""
+        from recommendations_tpu.nn.functional import l2_normalize
 
         def user_encoder(variables, batch):
+            out = self.forward(variables, batch, deterministic=True)
+            return {"user_emb": l2_normalize(out["next_token_emb"][:, -1, 0, :])}
+
+        def sequence_encoder(variables, batch):
             return self.forward(variables, batch, deterministic=True)
 
-        return {"user_encoder": user_encoder}
+        return {"user_encoder": user_encoder, "sequence_encoder": sequence_encoder}

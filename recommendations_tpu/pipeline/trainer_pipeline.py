@@ -91,8 +91,31 @@ class TrainerPipeline:
             eval_result = self.eval_model()
             self.export_model(state=None, eval_result=eval_result, training_done=True)
 
+        if cfg.inference is not None and not cfg.inference.skip_inference:
+            self.run_inference()
+
         trackers.end_run()
         return metrics
+
+    def run_inference(self) -> Optional[str]:
+        """Batch inference to parquet (the reference's ModelInferenceConfig
+        has no implementation behind it)."""
+        if self._trained is None or self._trained[1] is None:
+            return None
+        import tempfile
+
+        from recommendations_tpu.pipeline.inference import run_inference
+
+        wrapper, state = self._trained
+        cfg = self.pipeline_config
+        with tempfile.TemporaryDirectory() as tmp:
+            path = run_inference(wrapper, state, cfg, tmp)
+            if path and cfg.export is not None:
+                store = DataStoreAccessor.get_instance(cfg.export.filesystem_config)
+                store.upload_dir_recursive(
+                    tmp, f"{cfg.export.path_prefix}/{cfg.model_version}/inference"
+                )
+            return path
 
     # -- eval ------------------------------------------------------------------
 
