@@ -46,7 +46,7 @@ def execute_pipeline(cfg) -> dict:
     data_loader_strategy = get_data_loader_strategy(
         cfg.data_loader,
         columns=cfg.model.features.get_input_columns(),
-        data_mapper=lambda kind: cfg.model.features.default_data_mapper,
+        data_mapper=cfg.model.preprocess_fn,
     )
     training_strategy = get_training_strategy(cfg.training_strategy)
     pipeline = TrainerPipeline(

@@ -71,3 +71,23 @@ class ModelConfig(BaseModel, abc.ABC):
     @abc.abstractmethod
     def get_builder(self, stats: Optional[Any] = None):
         """Return a ModelBuilder producing the BaseModelWrapper."""
+
+    # ----- data-preprocessing hooks (reference model_config.py:44-48,
+    # models/lthm/config.py:65-77) -------------------------------------------
+
+    def custom_data_preprocessor(self, df, kind: str = "train"):
+        return df
+
+    def special_data_prepreprocessor(self, df, kind: str = "train"):
+        return df
+
+    def preprocess_fn(self, kind: str = "train"):
+        """pre-hook → feature transformers → post-hook, per file."""
+
+        def _fn(df):
+            df = self.special_data_prepreprocessor(df, kind)
+            df = self.features.default_data_mapper(df)
+            df = self.custom_data_preprocessor(df, kind)
+            return df
+
+        return _fn

@@ -200,3 +200,19 @@ class LTHMModelConfig(ModelConfig):
         from recommendations_tpu.models.lthm.builder import LTHMModelBuilder
 
         return LTHMModelBuilder(stats, self)
+
+    def custom_data_preprocessor(self, df, kind: str = "train"):
+        """Drop users with fewer than min_history_size real events (the
+        reference declares the knob but never applies it)."""
+        if self.min_history_size <= 0:
+            return df
+        hist = self.features.categorical_history_features
+        if not hist:
+            return df
+        name = hist[0].name
+        if name not in df.columns:
+            return df
+        import numpy as np
+
+        counts = df[name].map(lambda h: int(np.count_nonzero(np.asarray(h))))
+        return df[counts >= self.min_history_size]

@@ -34,29 +34,45 @@ def encode_catalog(
 ) -> jnp.ndarray:
     """ids (N,) int64 → L2-normalized retrieval embeddings (N, D)."""
 
-    module = wrapper.module
+    import flax.linen as nn
+
+    from recommendations_tpu.models.lthm.model import ProductTower
+    from recommendations_tpu.nn.embeddings import KShiftEmbedding
+
+    cfg = wrapper.config
+    tc = cfg.product_tower
+
+    class _ProductEncoder(nn.Module):
+        """Standalone product path reusing the trained submodule names, so the
+        wrapper's variables re-root directly onto it."""
+
+        @nn.compact
+        def __call__(self, ids):
+            embs = KShiftEmbedding(
+                num_embeddings=tc.latent_model_config.vocab_size_latent,
+                features=tc.inp_emb_dim,
+                num_shifts=tc.latent_model_config.num_shifts_latent,
+                normalize_output=tc.latent_model_config.normalize_embedding,
+                name="product_emb_module",
+            )(ids)
+            _, prod_emb, _ = ProductTower(cfg, name="product_tower")(ids, embs)
+            return prod_emb
+
+    encoder = _ProductEncoder()
+    sub_vars: Dict[str, dict] = {}
+    for coll in ("params", "constants"):
+        if coll in variables:
+            sub = {
+                k: v
+                for k, v in variables[coll].items()
+                if k in ("product_emb_module", "product_tower")
+            }
+            if sub:
+                sub_vars[coll] = sub
 
     @jax.jit
     def _encode(ids):
-        # run just the product path (embedding module + product tower) through
-        # the trained variables via flax's method-apply
-        return l2_normalize(module.apply(variables, ids, method=_product_forward))
-
-    def _product_forward(mod, ids):
-        from recommendations_tpu.models.lthm.model import ProductTower
-        from recommendations_tpu.nn.embeddings import KShiftEmbedding
-
-        cfg = mod.config
-        tc = cfg.product_tower
-        embs = KShiftEmbedding(
-            num_embeddings=tc.latent_model_config.vocab_size_latent,
-            features=tc.inp_emb_dim,
-            num_shifts=tc.latent_model_config.num_shifts_latent,
-            normalize_output=tc.latent_model_config.normalize_embedding,
-            name="product_emb_module",
-        )(ids)
-        _, prod_emb, _ = ProductTower(cfg, name="product_tower")(ids, embs)
-        return prod_emb
+        return l2_normalize(encoder.apply(sub_vars, ids))
 
     out = []
     n = len(product_ids)

@@ -58,3 +58,30 @@ def test_no_eval_resolver():
         path = f.name
     with pytest.raises(KeyError, match="Unknown resolver"):
         compose_config(path)
+
+
+def test_min_history_size_filter():
+    """LTHM custom_data_preprocessor drops short histories (knob declared but
+    unused in the reference)."""
+    import numpy as np
+    import pandas as pd
+    from tests.test_lthm_model import tiny_config
+
+    cfg = tiny_config(min_history_size=3)
+    feats_cfg = {
+        "defaults": {},
+        "categorical_history_features": [
+            {"name": "product_ids", "kind": "categorical_history",
+             "history_length": 4, "history_id_feature_name": "product_id",
+             "source": {"kind": "input", "dtype": "int64_list"}}
+        ],
+    }
+    from recommendations_tpu.features.feature_config import FeaturesConfig
+
+    cfg = cfg.model_copy(update={"features": FeaturesConfig(**feats_cfg)})
+    df = pd.DataFrame({
+        "product_ids": [[1, 2, 3, 4], [5, 0, 0, 0], [6, 7, 8, 0]],
+    })
+    fn = cfg.preprocess_fn("train")
+    out = fn(df)
+    assert len(out) == 2  # the single-event history dropped
