@@ -14,6 +14,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -52,7 +53,7 @@ def main() -> int:
             rotator_config={"ff_mult": 4},
             is_causal=True,
             num_layers=layers,
-            enable_gradient_checkpointing=True,
+            enable_gradient_checkpointing=False,
             attn_config=SelfAttentionConfig(
                 n_head=max(4, d // 16), n_embd=d, attn_type="multi_query",
                 dropout=0.0, attn_dropout=0.0, bias=False,
@@ -105,7 +106,7 @@ def main() -> int:
         for k, v in host_batch.items()
     }
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, b):
         rng, sub = jax.random.split(state.rng)
 

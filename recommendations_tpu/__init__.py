@@ -25,6 +25,21 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: first TPU compile of the train step is slow
+# (minutes over remote-compile links); later processes reuse it.  Opt out
+# with RECS_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("RECS_TPU_NO_COMPILE_CACHE"):
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", "/tmp/recs_tpu_jax_cache"
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 # Some TPU plugin bootstraps override platform selection in-process at
 # interpreter start; re-apply the user's JAX_PLATFORMS choice so
 # `JAX_PLATFORMS=cpu python main_training.py ...` behaves as documented.

@@ -73,7 +73,14 @@ def _head_loss(
     lq = cand_logq.reshape(n)
 
     neg = jnp.float32(_BIG_NEG)
-    logits = (q @ c.T) / jnp.float32(temperature)  # (N, N) f32
+    # The N x N similarity matmul dominates the step's FLOPs.  bf16 operands
+    # with an immediate upcast keep fwd AND both bwd matmuls on the MXU fast
+    # path (the astype boundary casts the f32 cotangent back to bf16); the
+    # MXU accumulates in f32 either way, and inputs are L2-normalized so the
+    # bf16 rounding of the operands is a <0.5% perturbation of a [-1,1] dot.
+    q16 = q.astype(jnp.bfloat16)
+    c16 = c.astype(jnp.bfloat16)
+    logits = (q16 @ c16.T).astype(jnp.float32) / jnp.float32(temperature)
 
     user = jnp.repeat(jnp.arange(bc, dtype=jnp.int32), s)  # slot -> batch row
     same_user = user[:, None] == user[None, :]

@@ -55,8 +55,11 @@ class ProductTower(nn.Module):
         x_norm = jnp.linalg.norm(x, axis=-1)
         mask = jnp.logical_or(x_norm < tc.norm_threshold, ids == 0)
 
+        dtype = jnp.dtype(self.config.compute_dtype)
         xn = l2_normalize(x)
-        emb = nn.Dense(tc.out_emb_dim, name="emb_mapper")(xn)
+        emb = nn.Dense(tc.out_emb_dim, dtype=dtype, name="emb_mapper")(
+            xn.astype(dtype)
+        ).astype(jnp.float32)
         for i, spec in enumerate(tc.cosine_lsh_config):
             emb = emb + CosineVectorEmbedding(
                 inp_dim=tc.inp_emb_dim,
@@ -68,11 +71,13 @@ class ProductTower(nn.Module):
         if tc.norm_bins > 1:
             emb = emb + HistogramEmbedding(
                 lo=0.0, hi=1.0, num_bins=tc.norm_bins, features=tc.out_emb_dim,
-                name="norm_emb",
+                compute_dtype=dtype, name="norm_emb",
             )(x_norm)
 
         emb = jnp.where(mask[..., None], 0.0, emb)
-        prod_emb = nn.Dense(tc.product_emb_dim, use_bias=False, name="product_mapper")(emb)
+        prod_emb = nn.Dense(
+            tc.product_emb_dim, use_bias=False, dtype=dtype, name="product_mapper"
+        )(emb.astype(dtype)).astype(jnp.float32)
         return emb, prod_emb, mask
 
 
@@ -111,10 +116,18 @@ class QueryTower(nn.Module):
         labels = labels[:, -cw:].astype(jnp.int64)
         timestamp = timestamp[:, -cw:].astype(jnp.int64)
 
-        emb_action = FlatEmbedding(4, emb_dim, name="action_embedding")(labels)
-        emb_hod = PatternFromTimelocal(3600, 24, emb_dim, name="time_hod")(timestamp)
-        emb_how = PatternFromTimelocal(3600, 24 * 7, emb_dim, name="time_how")(timestamp)
-        emb_dow = PatternFromTimelocal(86400, 7, emb_dim, name="time_dow")(timestamp)
+        emb_action = FlatEmbedding(
+            4, emb_dim, compute_dtype=dtype, name="action_embedding"
+        )(labels)
+        emb_hod = PatternFromTimelocal(
+            3600, 24, emb_dim, compute_dtype=dtype, name="time_hod"
+        )(timestamp)
+        emb_how = PatternFromTimelocal(
+            3600, 24 * 7, emb_dim, compute_dtype=dtype, name="time_how"
+        )(timestamp)
+        emb_dow = PatternFromTimelocal(
+            86400, 7, emb_dim, compute_dtype=dtype, name="time_dow"
+        )(timestamp)
 
         x = (
             nn.Dense(emb_dim, dtype=dtype, name="inp_proj")(inp.astype(dtype))
@@ -162,7 +175,9 @@ class QueryTower(nn.Module):
         outcomes = jnp.concatenate(
             [labels, jnp.broadcast_to(future_outcome.astype(jnp.int64), (bsz, 1))], axis=-1
         )
-        x = x + FlatEmbedding(4, emb_dim, name="outcome_conditioning")(outcomes)
+        x = x + FlatEmbedding(
+            4, emb_dim, compute_dtype=dtype, name="outcome_conditioning"
+        )(outcomes)
 
         # one linear head per lookahead horizon → (B, S+1, K, D_prod);
         # heads output float32 for the contrastive loss

@@ -40,20 +40,26 @@ def _take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 ONEHOT_LOOKUP_MAX_ROWS = 4096
 
 
-def onehot_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table[idx] via one-hot @ table (idx values must be in-range)."""
+def onehot_lookup(
+    table: jnp.ndarray, idx: jnp.ndarray, compute_dtype: Optional[jnp.dtype] = None
+) -> jnp.ndarray:
+    """table[idx] via one-hot @ table (idx values must be in-range).
+
+    ``compute_dtype=bfloat16`` runs the matmul (and its backward) with bf16
+    operands — rows come back bf16-rounded, which is fine inside a bf16
+    residual stream; leave ``None`` for exact rows.
+    """
     n = table.shape[0]
-    oh = (idx[..., None].astype(jnp.int32) == jnp.arange(n, dtype=jnp.int32)).astype(
-        table.dtype
-    )
-    return jnp.einsum(
-        "...n,nd->...d", oh, table, preferred_element_type=jnp.float32
-    ).astype(table.dtype)
+    ct = jnp.dtype(compute_dtype) if compute_dtype is not None else table.dtype
+    oh = (idx[..., None].astype(jnp.int32) == jnp.arange(n, dtype=jnp.int32)).astype(ct)
+    return jnp.einsum("...n,nd->...d", oh, table.astype(ct)).astype(table.dtype)
 
 
-def small_table_lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def small_table_lookup(
+    table: jnp.ndarray, idx: jnp.ndarray, compute_dtype: Optional[jnp.dtype] = None
+) -> jnp.ndarray:
     if table.shape[0] <= ONEHOT_LOOKUP_MAX_ROWS:
-        return onehot_lookup(table, idx)
+        return onehot_lookup(table, idx, compute_dtype)
     return _take_rows(table, idx)
 
 
@@ -69,6 +75,7 @@ class FlatEmbedding(nn.Module):
     zero_init: bool = False
     normalize_output: bool = False
     param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Optional[jnp.dtype] = None  # bf16 for hot paths
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
@@ -83,7 +90,7 @@ class FlatEmbedding(nn.Module):
         if not jnp.issubdtype(jnp.asarray(ids).dtype, jnp.integer):
             raise TypeError(f"hash ids must be integers, got {jnp.asarray(ids).dtype}")
         idx = jnp.mod(ids.astype(jnp.int64), self.num_embeddings)
-        x = small_table_lookup(table, idx)
+        x = small_table_lookup(table, idx, self.compute_dtype)
         if self.normalize_output:
             x = l2_normalize(x)
         return x
@@ -193,6 +200,7 @@ class HistogramEmbedding(nn.Module):
     num_bins: int
     features: int
     param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -206,7 +214,7 @@ class HistogramEmbedding(nn.Module):
         idx = jnp.clip(
             jnp.floor(frac * self.num_bins).astype(jnp.int32), 0, self.num_bins - 1
         )
-        return small_table_lookup(table, idx)
+        return small_table_lookup(table, idx, self.compute_dtype)
 
 
 class PatternFromTimelocal(nn.Module):
@@ -222,6 +230,7 @@ class PatternFromTimelocal(nn.Module):
     mod: int
     features: int
     param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
@@ -234,7 +243,7 @@ class PatternFromTimelocal(nn.Module):
             (self.mod, self.features),
             self.param_dtype,
         )
-        return small_table_lookup(table, idx)
+        return small_table_lookup(table, idx, self.compute_dtype)
 
 
 class NAImputationPlusQuantileEmbedding(nn.Module):

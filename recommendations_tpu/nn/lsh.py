@@ -67,6 +67,9 @@ class CosineVectorEmbedding(nn.Module):
     n_proj: int = 16
     num_bins: int = 20
     param_dtype: jnp.dtype = jnp.float32
+    # matmul operand dtype; bf16 keeps fwd AND bwd (table grad) on the MXU
+    # fast path.  Pass float32 for bit-tight oracle comparisons.
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -98,13 +101,16 @@ class CosineVectorEmbedding(nn.Module):
         # MXU does the forward and the backward is the transposed matmul —
         # no serialized scatter-add (this was the LTHM step's hotspot).
         nb1 = self.num_bins + 1
+        ct = jnp.dtype(self.compute_dtype)
         onehot = (
             buckets[..., None] == jnp.arange(nb1, dtype=jnp.int32)
-        ).astype(table.dtype)
+        ).astype(ct)
         onehot = onehot.reshape(*buckets.shape[:-1], self.n_proj * nb1)
-        return jnp.einsum(
-            "...n,nd->...d", onehot, table, preferred_element_type=jnp.float32
-        ).astype(table.dtype)
+        # output stays in compute dtype through the dot so the backward
+        # cotangent is cast back at the astype boundary (all-bf16 bwd matmul)
+        return jnp.einsum("...n,nd->...d", onehot, table.astype(ct)).astype(
+            table.dtype
+        )
 
 
 class QuantileMapper(nn.Module):

@@ -19,7 +19,9 @@ from recommendations_tpu.nn.functional import l2_normalize
 def test_cosine_vector_embedding_oracle():
     """EmbeddingBag(sum) over per-projection bucket rows (reference
     transformers/layers.py:443-471)."""
-    mod = CosineVectorEmbedding(inp_dim=8, features=6, n_proj=4, num_bins=5)
+    # f32 compute for a bit-tight oracle; prod default is bf16 operands
+    mod = CosineVectorEmbedding(inp_dim=8, features=6, n_proj=4, num_bins=5,
+                                compute_dtype=jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8))
     vs = mod.init(jax.random.PRNGKey(0), x)
     out = np.asarray(mod.apply(vs, x))

@@ -105,6 +105,13 @@ def test_sample_offsets_curriculum():
     assert offs[2] < offs[3] <= 12
 
 
+def _bf16(x):
+    """Round like _head_loss's bf16 matmul operands (f32 accumulation)."""
+    import ml_dtypes
+
+    return x.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+
 def _np_ce(logits, label):
     m = logits.max()
     p = np.exp(logits - m) / np.exp(logits - m).sum()
@@ -124,8 +131,8 @@ def test_head_loss_oracle_simple():
         lambda *a: _head_loss(*a, temperature=1.0, beta=0.0)
     )(q, c, valid, lq)
 
-    qf, cf = q.reshape(4, 8), c.reshape(4, 8)
-    logits = qf @ cf.T
+    qf, cf = _bf16(q.reshape(4, 8)), _bf16(c.reshape(4, 8))
+    logits = _bf16(qf @ cf.T)  # dot output is rounded to bf16 as well
     user = np.repeat(np.arange(2), 2)
     want = 0.0
     for i in range(4):
@@ -134,7 +141,7 @@ def test_head_loss_oracle_simple():
             if user[i] == user[j] and i != j:
                 row[j] = -1e9
         want += _np_ce(row, i) / 4
-    np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+    np.testing.assert_allclose(float(loss), want, rtol=2e-3)
     assert float(m["effective_batch_size"]) == 4
     # each row has 2 negatives (the other user's 2 slots)
     np.testing.assert_allclose(float(m["average_negatives_per_token"]), 2.0)
@@ -166,8 +173,8 @@ def test_head_loss_padding_columns_masked():
     # rows: user0 has negatives among user1's valid slot (1); user1 slot0 has
     # 2 negatives (user0 slots); user1 slot1 invalid.
     assert float(m["effective_batch_size"]) == 3
-    qf, cf = q.reshape(4, 8), c.reshape(4, 8)
-    logits = qf @ cf.T
+    qf, cf = _bf16(q.reshape(4, 8)), _bf16(c.reshape(4, 8))
+    logits = _bf16(qf @ cf.T)  # dot output is rounded to bf16 as well
     user = np.repeat(np.arange(2), 2)
     vcol = valid.reshape(-1)
     want, n = 0.0, 0
@@ -180,7 +187,7 @@ def test_head_loss_padding_columns_masked():
                 row[j] = -1e9
         want += _np_ce(row, i)
         n += 1
-    np.testing.assert_allclose(float(loss), want / n, rtol=1e-5)
+    np.testing.assert_allclose(float(loss), want / n, rtol=2e-3)
 
 
 def test_head_loss_logq_correction_zeroed_at_positive():
@@ -193,8 +200,8 @@ def test_head_loss_logq_correction_zeroed_at_positive():
     lq = np.array([[0.5], [-1.0]], np.float32)
     loss_b, _ = _head_loss(jnp.asarray(q), jnp.asarray(c), jnp.asarray(valid),
                            jnp.asarray(lq), 1.0, beta=1.0)
-    qf, cf = q.reshape(2, 4), c.reshape(2, 4)
-    logits = qf @ cf.T
+    qf, cf = _bf16(q.reshape(2, 4)), _bf16(c.reshape(2, 4))
+    logits = _bf16(qf @ cf.T)
     lqf = lq.reshape(-1)
     want = 0.0
     for i in range(2):
@@ -203,7 +210,7 @@ def test_head_loss_logq_correction_zeroed_at_positive():
             if j != i:
                 row[j] -= lqf[j]
         want += _np_ce(row, i) / 2
-    np.testing.assert_allclose(float(loss_b), want, rtol=1e-5)
+    np.testing.assert_allclose(float(loss_b), want, rtol=2e-3)
 
 
 def test_contrastive_step_end_to_end_metrics():
