@@ -33,6 +33,7 @@ from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from recommendations_tpu.nn.logq import LogQState, logq_correction, logq_update
 
@@ -57,6 +58,102 @@ def sample_offsets(rng: jax.Array, lookahead: List[int]) -> jnp.ndarray:
     return jnp.stack(offsets)
 
 
+def _ce_rows(
+    q16: jnp.ndarray,   # (N, D) bf16 normalized queries
+    c16: jnp.ndarray,   # (N, D) bf16 normalized candidates
+    v: jnp.ndarray,     # (N,) bool slot validity
+    lq: jnp.ndarray,    # (N,) f32 logQ of candidates
+    bc: int,
+    s: int,
+    temperature: float,
+    beta: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row contrastive CE + positive rank with a hand-written VJP.
+
+    Autodiff of the naive formulation materializes the f32 (N, N) cotangent
+    and layout-converts it for the two transposed matmuls (~30 ms/step of
+    pure transpose copies at the bench scale point).  The custom backward
+    instead recomputes the logits GEMM, forms ``g = (softmax(adj) - I) * a``
+    in one fused pass, and feeds both input grads as direct bf16 matmuls
+    with the contraction on the appropriate axis — no transpose, no f32
+    (N, N) cotangent.  This is SURVEY §7 hard-part #4 (the tiled logits+CE
+    kernel) expressed in XLA ops: the runtime here cannot lower gridded
+    Pallas calls, and the GEMM/fusion structure below is what the Pallas
+    kernel would pipeline anyway.
+    """
+    n = bc * s
+    inv_t = jnp.float32(1.0 / temperature)
+    neg = jnp.float32(_BIG_NEG)
+    beta_f = jnp.float32(beta)
+
+    def masked_adj(q, c, vv, lqv):
+        raw = jax.lax.dot_general(
+            q, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * inv_t
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        same_user = (i_idx // s) == (j_idx // s)
+        eye = i_idx == j_idx
+        masked = (same_user & ~eye) | (~vv)[None, :]
+        logits = jnp.where(masked, neg, raw)
+        # logQ subtracted per candidate column, zeroed at the positive
+        # (reference wrapper.py:167-174)
+        adj = jnp.where(eye, logits, logits - beta_f * lqv[None, :])
+        return logits, adj, eye
+
+    # Analytic logsumexp shift: inputs are L2-normalized so raw logits are
+    # bounded by 1/temperature, and the logQ term by beta*max|logQ| — a
+    # scalar bound replaces the per-row max pass over the (N, N) tile.
+    def shift(lqv):
+        return inv_t + beta_f * jnp.max(jnp.abs(lqv)) + 1.0
+
+    def fwd_impl(q, c, vv, lqv):
+        logits, adj, eye = masked_adj(q, c, vv, lqv)
+        m = shift(lqv)
+        lse = m + jnp.log(jnp.sum(jnp.exp(adj - m), axis=-1))
+        diag = jnp.sum(jnp.where(eye, adj, 0.0), axis=-1)
+        ce = lse - diag
+        rank = jnp.sum((logits > diag[:, None]).astype(jnp.int32), axis=-1)
+        return ce, rank
+
+    @jax.custom_vjp
+    def core(q, c, vv, lqv):
+        return fwd_impl(q, c, vv, lqv)
+
+    def core_fwd(q, c, vv, lqv):
+        ce, rank = fwd_impl(q, c, vv, lqv)
+        # residuals are O(N): the (N, N) tile is recomputed in bwd
+        return (ce, rank), (q, c, vv, lqv, ce)
+
+    def core_bwd(res, cts):
+        q, c, vv, lqv, ce = res
+        dce = cts[0].astype(jnp.float32)
+        _logits, adj, eye = masked_adj(q, c, vv, lqv)
+        # p = softmax(adj) per row, recovered from ce: lse = ce + diag(adj)
+        diag = jnp.sum(jnp.where(eye, adj, 0.0), axis=-1)
+        lse = ce + diag
+        a = dce * inv_t
+        p = jnp.exp(adj - lse[:, None])
+        # masked columns underflow to exactly 0 (exp(-1e9 - lse)); rows whose
+        # diagonal is masked only occur with w=0 upstream => dce=0 there
+        g16 = ((p - eye.astype(jnp.float32)) * a[:, None]).astype(jnp.bfloat16)
+        dq = jax.lax.dot_general(
+            g16, c, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dc = jax.lax.dot_general(
+            g16, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return (
+            dq.astype(q.dtype),
+            dc.astype(c.dtype),
+            np.zeros(vv.shape, dtype=jax.dtypes.float0),
+            jnp.zeros_like(lqv),
+        )
+
+    core.defvjp(core_fwd, core_bwd)
+    return core(q16, c16, v, lq)
+
+
 def _head_loss(
     query: jnp.ndarray,       # (Bc, S, D) normalized head-i outputs
     cand: jnp.ndarray,        # (Bc, S, D) normalized rolled candidates
@@ -67,53 +164,32 @@ def _head_loss(
 ) -> Tuple[jnp.ndarray, Metrics]:
     bc, s, d = query.shape
     n = bc * s
-    q = query.reshape(n, d)
-    c = cand.reshape(n, d)
-    v = valid.reshape(n)
-    lq = cand_logq.reshape(n)
-
-    neg = jnp.float32(_BIG_NEG)
     # The N x N similarity matmul dominates the step's FLOPs.  bf16 operands
     # with an immediate upcast keep fwd AND both bwd matmuls on the MXU fast
-    # path (the astype boundary casts the f32 cotangent back to bf16); the
-    # MXU accumulates in f32 either way, and inputs are L2-normalized so the
-    # bf16 rounding of the operands is a <0.5% perturbation of a [-1,1] dot.
-    q16 = q.astype(jnp.bfloat16)
-    c16 = c.astype(jnp.bfloat16)
-    logits = (q16 @ c16.T).astype(jnp.float32) / jnp.float32(temperature)
+    # path; the MXU accumulates in f32 either way, and inputs are
+    # L2-normalized so bf16 rounding is a <0.5% perturbation of a [-1,1] dot.
+    q16 = query.reshape(n, d).astype(jnp.bfloat16)
+    c16 = cand.reshape(n, d).astype(jnp.bfloat16)
+    v = valid.reshape(n)
+    lq = jax.lax.stop_gradient(cand_logq.reshape(n).astype(jnp.float32))
 
-    user = jnp.repeat(jnp.arange(bc, dtype=jnp.int32), s)  # slot -> batch row
-    same_user = user[:, None] == user[None, :]
-    eye = jnp.eye(n, dtype=bool)
-    col_invalid = ~v[None, :]
+    ce, rank = _ce_rows(q16, c16, v, lq, bc, s, float(temperature), float(beta))
 
-    # all literals pinned to f32: under x64, python-float branches would
-    # silently promote these N x N temporaries to float64
-    masked = same_user & ~eye | jnp.broadcast_to(col_invalid, (n, n))
-    logits = jnp.where(masked, neg, logits)
-
-    # logQ subtracted per candidate column, zeroed at the positive
-    # (reference wrapper.py:167-174)
-    adj = jnp.where(
-        eye, logits, logits - jnp.float32(beta) * lq[None, :].astype(jnp.float32)
-    )
-
-    # negatives per row = valid, non-masked columns minus the positive
-    num_neg = jnp.sum((~masked).astype(jnp.int32), axis=-1) - 1
+    # negatives per row, closed form (no (N, N) mask reduction): columns that
+    # are valid and either cross-user or the diagonal, minus the positive:
+    #   num_neg_i = (#valid) - (#valid in user(i)) + v_i - 1
+    vf = v.astype(jnp.float32)
+    per_user = vf.reshape(bc, s).sum(axis=-1)
+    num_neg = (
+        jnp.sum(vf) - jnp.repeat(per_user, s) + vf - 1.0
+    ).astype(jnp.int32)
     w = (v & (num_neg > 0)).astype(jnp.float32)
 
-    # stable CE at the diagonal
-    lse = jax.nn.logsumexp(adj, axis=-1)
-    pos_logit = jnp.diagonal(adj)
-    ce = lse - pos_logit
-    ce = jnp.where(jnp.isnan(ce), 0.0, ce)  # NaN filter (wrapper.py:210-213)
+    # NaN filter (wrapper.py:210-213); also catches the -inf a fully-masked
+    # row produces under the scalar-shift logsumexp (such rows have w=0)
+    ce = jnp.where(jnp.isfinite(ce), ce, 0.0)
     used = jnp.sum(w)
     loss = jnp.sum(ce * w) / jnp.maximum(used, 1.0)
-
-    # rank of the positive among the *raw masked* logits (metrics use the
-    # uncorrected logits, as the reference sorts `logits` not the adjusted
-    # ones — wrapper.py:231-242)
-    rank = jnp.sum((logits > jnp.diagonal(logits)[:, None]), axis=-1)
     metrics = {
         "effective_batch_size": used,
         "average_negatives_per_token": jnp.sum(num_neg * w) / jnp.maximum(used, 1.0),
@@ -198,12 +274,9 @@ def contrastive_step(
         agg: Dict[str, jnp.ndarray] = {}
         ranks, weights, min_negs = [], [], []
         n_chunks = len(starts)
-        # remat: the (N,N) logits tile is recomputed in backward instead of
-        # keeping one live per head x chunk (6 heads x 268MB at the base
-        # config would exceed HBM)
-        head_loss_fn = jax.checkpoint(
-            lambda *a: _head_loss(*a, temperature=temperature, beta=beta)
-        )
+        # no jax.checkpoint needed: _ce_rows' custom VJP keeps only O(N)
+        # residuals and recomputes the (N,N) logits GEMM in backward
+        head_loss_fn = lambda *a: _head_loss(*a, temperature=temperature, beta=beta)
         for cs in starts:
             ce_loss, m = head_loss_fn(
                 query[cs : cs + chunk],

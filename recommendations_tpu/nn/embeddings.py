@@ -269,7 +269,11 @@ class NAImputationPlusQuantileEmbedding(nn.Module):
         na_param = self.param("na_param", nn.initializers.zeros, (1,))
         x = x.astype(jnp.float32)
         q = jnp.asarray(self.quantiles, dtype=jnp.float32)
-        idx = jnp.clip(jnp.searchsorted(q, x), 0, n - 2)
+        # comparison-count searchsorted: q is tiny and jnp.searchsorted
+        # lowers to a serial binary-search while loop on TPU (see nn/lsh.py)
+        idx = jnp.clip(
+            jnp.sum(q < x[..., None], axis=-1).astype(jnp.int32), 0, n - 2
+        )
         y = jnp.take(table, idx, axis=0)
         is_na = (x - self.na_value) < self.eps
         return jnp.where(is_na[..., None], na_param[None, :], y)

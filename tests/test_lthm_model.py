@@ -269,3 +269,53 @@ def test_gradients_flow_and_product_module_detached():
     assert np.abs(g_emb).max() == 0.0
     g_head = np.asarray(grads["query_tower"]["emb_head_0"]["kernel"])
     assert np.abs(g_head).max() > 0.0
+
+
+def test_head_loss_custom_vjp_matches_autodiff():
+    """_ce_rows' hand-written backward must equal plain-autodiff gradients
+    of the same masked-CE math (same-user masking, pad columns, logQ)."""
+    rs = np.random.RandomState(7)
+    bc, s, d = 3, 5, 16
+    q = rs.randn(bc, s, d).astype(np.float32)
+    c = rs.randn(bc, s, d).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    c /= np.linalg.norm(c, axis=-1, keepdims=True)
+    valid = rs.rand(bc, s) > 0.25
+    valid[:, 0] = True
+    lq = rs.rand(bc, s).astype(np.float32)
+    temperature, beta = 0.1, 0.7
+
+    loss_fn = lambda qq, cc: _head_loss(
+        qq, cc, jnp.asarray(valid), jnp.asarray(lq),
+        temperature=temperature, beta=beta,
+    )[0]
+    gq, gc = jax.grad(loss_fn, argnums=(0, 1))(jnp.asarray(q), jnp.asarray(c))
+
+    def ref_loss(qq, cc):
+        n = bc * s
+        qf = qq.reshape(n, d).astype(jnp.bfloat16)
+        cf = cc.reshape(n, d).astype(jnp.bfloat16)
+        v = jnp.asarray(valid.reshape(n))
+        lqf = jnp.asarray(lq.reshape(n))
+        logits = (
+            jax.lax.dot_general(qf, cf, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            / temperature
+        )
+        user = jnp.repeat(jnp.arange(bc), s)
+        same = user[:, None] == user[None, :]
+        eye = jnp.eye(n, dtype=bool)
+        masked = (same & ~eye) | (~v)[None, :]
+        logits = jnp.where(masked, -1e9, logits)
+        adj = jnp.where(eye, logits, logits - beta * lqf[None, :])
+        lse = jax.nn.logsumexp(adj, axis=-1)
+        ce = lse - jnp.diagonal(adj)
+        num_neg = jnp.sum((~masked).astype(jnp.int32), axis=-1) - 1
+        w = (v & (num_neg > 0)).astype(jnp.float32)
+        return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    rq, rc = jax.grad(ref_loss, argnums=(0, 1))(jnp.asarray(q), jnp.asarray(c))
+    # atol covers bf16 rounding of the backward cotangent (the custom VJP
+    # intentionally runs both grad GEMMs with bf16 operands)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(rq), rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(rc), rtol=2e-2, atol=2e-3)
