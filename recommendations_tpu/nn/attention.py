@@ -72,28 +72,42 @@ def _sdpa(
     mask: Optional[jnp.ndarray],
     pos_bias: Optional[nn.Module],
 ) -> jnp.ndarray:
-    """Scaled dot-product attention with f32 logits/softmax.
+    """Scaled dot-product attention; softmax accumulates in f32.
 
-    q: (B, H, S, hd); k/v: (B, Hk, S, hd) with Hk ∈ {1, H} (MQA broadcasts).
+    q: (B, H, S, hd); k/v: (B, Hk, S, hd) with Hk ∈ {1, H} (MQA uses a
+    dedicated einsum — no materialized broadcast of K/V to H heads).
+
+    The (B, H, S, S) logits tensor dominates attention HBM traffic; it is
+    stored in the compute dtype (bf16 on TPU, halving the bytes) while the
+    softmax itself upcasts to f32 — the convert fuses into the softmax
+    reduction so the f32 view never hits HBM.
     """
     head_dim = q.shape[-1]
-    if k.shape[1] != q.shape[1]:  # multi-query: one KV head shared by all H
-        k = jnp.broadcast_to(k, (*q.shape[:2], *k.shape[2:]))
-        v = jnp.broadcast_to(v, (*q.shape[:2], *v.shape[2:]))
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk",
-        q,
-        k,
-        preferred_element_type=jnp.float32,
-    ) / jnp.sqrt(jnp.float32(head_dim))
+    mqa = k.shape[1] != q.shape[1]  # multi-query: one KV head shared by all H
+    # scale q (B,H,S,hd) rather than the much larger logits (B,H,S,S)
+    q = (q * (1.0 / jnp.sqrt(jnp.float32(head_dim)))).astype(q.dtype)
+    acc = jnp.float32 if q.dtype == jnp.float32 else q.dtype
+    if mqa:
+        logits = jnp.einsum("bhqd,bkd->bhqk", q, k[:, 0], preferred_element_type=acc)
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=acc)
+    logits = logits.astype(jnp.float32)
     if pos_bias is not None:
         logits = pos_bias(logits)
     if mask is not None:
         logits = logits + mask
-    weights = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum(
-        "bhqk,bhkd->bhqd", weights.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(v.dtype)
+    # softmax with deferred normalization: the unnormalized exp(l - m) feeds
+    # the V matmul directly and the division happens on the (B,H,S,hd) output
+    # — one fewer full pass over the (B,H,S,S) tensor than normalizing weights
+    m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    unnorm = jnp.exp(logits - m)
+    denom = jnp.sum(unnorm, axis=-1, keepdims=True)  # (B,H,S,1)
+    weights = unnorm.astype(v.dtype)
+    if mqa:
+        out = jnp.einsum("bhqk,bkd->bhqd", weights, v[:, 0], preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32)
+    return (out / denom).astype(v.dtype)
 
 
 class _AttentionBase(nn.Module):
