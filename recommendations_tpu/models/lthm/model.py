@@ -235,6 +235,7 @@ class LTHMEncoder(nn.Module):  # noqa: D101  (docstring below)
                 features=tc.inp_emb_dim,
                 num_shifts=tc.latent_model_config.num_shifts_latent,
                 normalize_output=tc.latent_model_config.normalize_embedding,
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
                 name="product_emb_module",
             )(ids)
         elif cfg.shard_embedding_rows and self.mesh is not None:
@@ -248,6 +249,7 @@ class LTHMEncoder(nn.Module):  # noqa: D101  (docstring below)
                 num_shifts=tc.latent_model_config.num_shifts_latent,
                 normalize_output=tc.latent_model_config.normalize_embedding,
                 mesh=self.mesh,
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
                 name="product_emb_module",
             )(ids)
         else:
@@ -256,6 +258,7 @@ class LTHMEncoder(nn.Module):  # noqa: D101  (docstring below)
                 features=tc.inp_emb_dim,
                 num_shifts=tc.latent_model_config.num_shifts_latent,
                 normalize_output=tc.latent_model_config.normalize_embedding,
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
                 name="product_emb_module",
             )(ids)
 

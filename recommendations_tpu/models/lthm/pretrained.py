@@ -12,7 +12,7 @@ them into a model's variables.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -31,6 +31,9 @@ class PretrainedProductEmbedding(nn.Module):
     normalize_output: bool = True
     mask_emb_dim: int = 4
     mask_hidden: int = 64
+    # bf16 halves gathered-row bytes (row-transfer-bound); the module is
+    # frozen so there is no precision concern for optimizer state
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
@@ -52,8 +55,11 @@ class PretrainedProductEmbedding(nn.Module):
             "constants", "mask_b2", lambda: jnp.zeros((1,), jnp.float32)
         ).value
 
+        if self.compute_dtype is not None:
+            emb_table = emb_table.astype(self.compute_dtype)
         idx = kshift_row_indices(ids, self.num_embeddings, self.num_shifts)
         emb = jnp.take(emb_table, idx.astype(jnp.int32), axis=0).sum(axis=-2)
+        emb = emb.astype(jnp.float32)
         if self.normalize_output:
             emb = l2_normalize(emb)
         else:

@@ -40,14 +40,23 @@ def _owned_rows_sum(
     global_idx: jnp.ndarray,
     shard_id: jnp.ndarray,
     rows_per_shard: int,
+    compute_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
-    """Sum of owned rows per id: (..., k) global rows → (..., d) partial sum."""
+    """Sum of owned rows per id: (..., k) global rows → (..., d) partial sum.
+
+    ``compute_dtype=bf16`` halves the gathered-row bytes and the backward
+    scatter-add bytes (both row-transfer-bound); the partial sum is returned
+    in f32 so the cross-shard psum accumulates exactly.
+    """
+    if compute_dtype is not None:
+        table_shard = table_shard.astype(compute_dtype)
     local = global_idx - shard_id * rows_per_shard
     owned = (local >= 0) & (local < rows_per_shard)
     safe = jnp.where(owned, local, 0).astype(jnp.int32)
     flat = safe.reshape(-1)
     rows = jnp.take(table_shard, flat, axis=0).reshape(*safe.shape, -1)
-    return jnp.sum(jnp.where(owned[..., None], rows, 0.0), axis=-2)
+    zero = jnp.zeros((), table_shard.dtype)
+    return jnp.sum(jnp.where(owned[..., None], rows, zero), axis=-2).astype(jnp.float32)
 
 
 def sharded_kshift_lookup(
@@ -59,6 +68,7 @@ def sharded_kshift_lookup(
     axis_name: str = "model",
     data_axis: str = "data",
     normalize_output: bool = False,
+    compute_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """KShift lookup with the table row-sharded over ``axis_name``.
 
@@ -77,7 +87,9 @@ def sharded_kshift_lookup(
     def local_fn(table_shard, ids_local):
         shard_id = jax.lax.axis_index(axis_name)
         idx = kshift_row_indices(ids_local, num_embeddings, num_shifts)
-        partial_sum = _owned_rows_sum(table_shard, idx, shard_id, rows_per_shard)
+        partial_sum = _owned_rows_sum(
+            table_shard, idx, shard_id, rows_per_shard, compute_dtype
+        )
         total = jax.lax.psum(partial_sum, axis_name)
         if normalize_output:
             return l2_normalize(total)
@@ -101,6 +113,7 @@ def sharded_embedding_lookup(
     *,
     axis_name: str = "model",
     data_axis: str = "data",
+    compute_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
     """Plain row-sharded gather: table[ids mod P] with one psum over the
     model axis (each row owned by exactly one shard)."""
@@ -112,7 +125,9 @@ def sharded_embedding_lookup(
     def local_fn(table_shard, ids_local):
         shard_id = jax.lax.axis_index(axis_name)
         idx = jnp.mod(ids_local.astype(jnp.int64), num_embeddings)[..., None]
-        partial_rows = _owned_rows_sum(table_shard, idx, shard_id, rows_per_shard)
+        partial_rows = _owned_rows_sum(
+            table_shard, idx, shard_id, rows_per_shard, compute_dtype
+        )
         return jax.lax.psum(partial_rows, axis_name)
 
     extra = ids.ndim - 1
@@ -142,6 +157,7 @@ class ShardedKShiftEmbedding(nn.Module):
     axis_name: str = "model"
     data_axis: str = "data"
     param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
@@ -161,4 +177,5 @@ class ShardedKShiftEmbedding(nn.Module):
             axis_name=self.axis_name,
             data_axis=self.data_axis,
             normalize_output=self.normalize_output,
+            compute_dtype=self.compute_dtype,
         )
