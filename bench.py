@@ -54,6 +54,7 @@ def main() -> int:
             is_causal=True,
             num_layers=layers,
             enable_gradient_checkpointing=False,
+            use_flash_attention=on_tpu,  # pallas fused-head kernel
             attn_config=SelfAttentionConfig(
                 n_head=max(4, d // 16), n_embd=d, attn_type="multi_query",
                 dropout=0.0, attn_dropout=0.0, bias=False,

@@ -122,13 +122,19 @@ class _AttentionBase(nn.Module):
     use_flash: bool = False
     dtype: Optional[jnp.dtype] = None
 
-    def _maybe_flash(self, q, k, v, mask, causal):
-        """Returns flash output or None when the XLA path must be used."""
-        if not self.use_flash or mask is not None or self.pos_bias_window is not None:
-            return None
-        from recommendations_tpu.ops.flash_attention import flash_attention
+    def _flash_eligible(self, mask) -> bool:
+        """Pallas fused-head path: no additive mask / relative-position bias."""
+        return self.use_flash and mask is None and self.pos_bias_window is None
 
-        return flash_attention(q, k, v, causal=causal)
+    def _fused_flash(self, q2, k2, v2, causal):
+        """Folded-layout flash attention: q2 (B,T,H*hd), k2/v2 (B,T,hd|H*hd).
+
+        Heads never leave the lane dimension, so HBM sees no (B,H,T,hd)
+        tensor (hd=16 would tile-pad 8x) and no (B,H,T,T) logits.
+        """
+        from recommendations_tpu.ops.fused_attention import fused_flash_attention
+
+        return fused_flash_attention(q2, k2, v2, self.n_head, causal)
 
     def _pos_bias(self) -> Optional[nn.Module]:
         if self.pos_bias_window is None:
@@ -150,6 +156,18 @@ class _AttentionBase(nn.Module):
             _token_dropout_mask(self.make_rng("dropout"), r, b, t),
             _token_dropout_mask(self.make_rng("dropout"), r, b, t),
         )
+
+    def _apply_folded_dropout(self, q2, k2, v2, deterministic):
+        """Token dropout on the folded (B,T,C) layout — same (B,1,T,1)
+        per-token semantics as `_qkv_dropout` on the split layout."""
+        if deterministic or self.attn_dropout == 0.0:
+            return q2, k2, v2
+        q_do, k_do, v_do = self._qkv_dropout(q2.shape[0], q2.shape[1], deterministic)
+        # (B,1,T,1) -> (B,T,1)
+        out = []
+        for x, do in ((q2, q_do), (k2, k_do), (v2, v_do)):
+            out.append((x * do[:, 0]).astype(x.dtype))
+        return tuple(out)
 
 
 class MultiQueryAttention(_AttentionBase):
@@ -173,17 +191,18 @@ class MultiQueryAttention(_AttentionBase):
         kv = nn.Dense(2 * hd, use_bias=self.use_bias, dtype=self.dtype, name="kv_proj")(x)
         k, v = jnp.split(kv, 2, axis=-1)
 
-        q_do, k_do, v_do = self._qkv_dropout(b, t, deterministic)
-        q = (q_do * jnp.transpose(q.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
-        k = (k_do * jnp.transpose(k.reshape(b, t, 1, hd), (0, 2, 1, 3))).astype(x.dtype)
-        v = (v_do * jnp.transpose(v.reshape(b, t, 1, hd), (0, 2, 1, 3))).astype(x.dtype)
-
-        y = self._maybe_flash(q, k, v, mask, causal)
-        if y is None:
+        if self._flash_eligible(mask):
+            q2, k2, v2 = self._apply_folded_dropout(q, k, v, deterministic)
+            y = self._fused_flash(q2, k2, v2, causal)
+        else:
+            q_do, k_do, v_do = self._qkv_dropout(b, t, deterministic)
+            q = (q_do * jnp.transpose(q.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
+            k = (k_do * jnp.transpose(k.reshape(b, t, 1, hd), (0, 2, 1, 3))).astype(x.dtype)
+            v = (v_do * jnp.transpose(v.reshape(b, t, 1, hd), (0, 2, 1, 3))).astype(x.dtype)
             if causal and mask is None:
                 mask = causal_mask(t)
             y = _sdpa(q, k, v, mask, self._pos_bias())
-        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(b, t, self.n_embd)
+            y = jnp.transpose(y, (0, 2, 1, 3)).reshape(b, t, self.n_embd)
         y = nn.Dense(self.n_embd, use_bias=self.use_bias, dtype=self.dtype, name="out_proj")(y)
         return nn.Dropout(self.dropout, deterministic=deterministic)(y)
 
@@ -204,16 +223,17 @@ class MultiHeadAttention(_AttentionBase):
         qkv = nn.Dense(3 * self.n_embd, use_bias=self.use_bias, dtype=self.dtype, name="c_attn")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        q_do, k_do, v_do = self._qkv_dropout(b, t, deterministic)
-        q = (q_do * jnp.transpose(q.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
-        k = (k_do * jnp.transpose(k.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
-        v = (v_do * jnp.transpose(v.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
-
-        y = self._maybe_flash(q, k, v, mask, causal)
-        if y is None:
+        if self._flash_eligible(mask):
+            q2, k2, v2 = self._apply_folded_dropout(q, k, v, deterministic)
+            y = self._fused_flash(q2, k2, v2, causal)
+        else:
+            q_do, k_do, v_do = self._qkv_dropout(b, t, deterministic)
+            q = (q_do * jnp.transpose(q.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
+            k = (k_do * jnp.transpose(k.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
+            v = (v_do * jnp.transpose(v.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))).astype(x.dtype)
             if causal and mask is None:
                 mask = causal_mask(t)
             y = _sdpa(q, k, v, mask, self._pos_bias())
-        y = jnp.transpose(y, (0, 2, 1, 3)).reshape(b, t, self.n_embd)
+            y = jnp.transpose(y, (0, 2, 1, 3)).reshape(b, t, self.n_embd)
         y = nn.Dense(self.n_embd, use_bias=self.use_bias, dtype=self.dtype, name="c_proj")(y)
         return nn.Dropout(self.dropout, deterministic=deterministic)(y)

@@ -1,0 +1,470 @@
+"""Fused-head flash attention (Pallas TPU) with a full custom-VJP backward.
+
+Motivation (LTHM hot path). The reference's MQA uses 32 heads of dim 16
+(``hydra-configs/model/lthm.yaml:48-49`` → d=512, 32 heads); on TPU both the
+split-head layout and the logits tensor are hostile:
+
+- a (B, H, T, hd=16) array tiles its 16-lane minor dimension up to the
+  128-lane hardware tile → 8x HBM bytes for q/k/v/o;
+- the XLA attention path materializes the (B, H, T, T) logits in HBM
+  several times per layer per direction (~24 GB/step of the LTHM-base
+  bench's 63 GB total).
+
+This kernel keeps heads **folded in the lane dimension**: q and o stay in
+their natural (B, T, H*hd) projection layout (512 lanes — tile-aligned, no
+padding), K/V rows live fully in VMEM per kernel instance, and the per-head
+(tile_q, T) logits exist only in VMEM. HBM traffic is reduced to q/k/v/o
+plus an (B, T, 128) logsumexp row — independent of T^2.
+
+The backward is two more Pallas kernels (dq; dk/dv) that recompute the
+logits from the saved logsumexp (standard flash backward). For MQA the
+dK/dV sum over query heads happens naturally in the kernel's head loop —
+no atomic scatter, no grid-revisit accumulation.
+
+Scope/limits:
+- full K/V rows resident in VMEM → T is bounded by VMEM (~8K rows at
+  128 padded lanes f32). The long-context path (ring attention,
+  ``parallel/ring_attention.py``) covers longer sequences.
+- causal and/or key-length masking only; additive masks and relative
+  position bias fall back to the XLA path in ``nn/attention.py``.
+- all matmuls run f32 operands / f32 accumulation: attention FLOPs are
+  negligible at these shapes (the win is HBM traffic), and f32 keeps
+  grad-parity tests tight.
+
+Reference behavior replaced: ``commons/transformers/layers.py:202-265``
+(explicit (B,H,T,T) softmax attention).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+_LANE = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _positions(tile_rows: int, cols: int, row0):
+    q_pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, cols), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, cols), 1)
+    return q_pos, k_pos
+
+
+def _mm(a, b, dims):
+    """Matmul on operand-dtype inputs (bf16 on TPU → full MXU rate) with f32
+    accumulation. f32 operands would run the MXU at 1/8 rate and dominate the
+    kernel (measured 3x slower end-to-end at the LTHM-base shape)."""
+    return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *, n_head, hd, kvh, tile_q, seq_len, causal
+):
+    iq = pl.program_id(1)
+    t_pad = k_ref.shape[1]
+    scale = jnp.float32(1.0 / math.sqrt(hd))
+    q_pos, k_pos = _positions(tile_q, t_pad, iq * jnp.int32(tile_q))
+    mask = k_pos < jnp.int32(seq_len)
+    if causal:
+        mask = mask & (k_pos <= q_pos)
+
+    if kvh == 1:
+        kf = k_ref[0][:, :hd]
+        vf = v_ref[0][:, :hd]
+
+    lse_cols = []
+    for h in range(n_head):
+        sl = slice(h * hd, (h + 1) * hd)
+        if kvh != 1:
+            kf = k_ref[0][:, sl]
+            vf = v_ref[0][:, sl]
+        qh = q_ref[0][:, sl]
+        s = _mm(qh, kf, ((1,), (1,))) * scale
+        s = jnp.where(mask, s, jnp.float32(NEG_INF))
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = _mm(p.astype(vf.dtype), vf, ((1,), (0,)))
+        o_ref[0, :, sl] = (o / jnp.maximum(l, jnp.float32(1e-30))).astype(o_ref.dtype)
+        lse_cols.append(m + jnp.log(jnp.maximum(l, jnp.float32(1e-30))))
+
+    lse = jnp.concatenate(lse_cols, axis=1)  # (tile_q, n_head)
+    pad = lse_ref.shape[2] - n_head
+    if pad:
+        lse = jnp.concatenate([lse, jnp.zeros((tile_q, pad), jnp.float32)], axis=1)
+    lse_ref[0] = lse
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dcol_ref, dq_ref,
+    *, n_head, hd, kvh, tile_q, seq_len, causal,
+):
+    iq = pl.program_id(1)
+    t_pad = k_ref.shape[1]
+    scale = jnp.float32(1.0 / math.sqrt(hd))
+    q_pos, k_pos = _positions(tile_q, t_pad, iq * jnp.int32(tile_q))
+    mask = k_pos < jnp.int32(seq_len)
+    if causal:
+        mask = mask & (k_pos <= q_pos)
+
+    if kvh == 1:
+        kf = k_ref[0][:, :hd]
+        vf = v_ref[0][:, :hd]
+
+    for h in range(n_head):
+        sl = slice(h * hd, (h + 1) * hd)
+        if kvh != 1:
+            kf = k_ref[0][:, sl]
+            vf = v_ref[0][:, sl]
+        qh = q_ref[0][:, sl]
+        s = _mm(qh, kf, ((1,), (1,))) * scale
+        s = jnp.where(mask, s, jnp.float32(NEG_INF))
+        lse_h = lse_ref[0][:, h : h + 1]
+        p = jnp.where(mask, jnp.exp(s - lse_h), jnp.float32(0.0))
+        doh = do_ref[0][:, sl]
+        dp = _mm(doh, vf, ((1,), (1,)))
+        d_h = dcol_ref[0][:, h : h + 1]
+        ds = p * (dp - d_h)
+        dq = _mm(ds.astype(kf.dtype), kf, ((1,), (0,)))
+        dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dcol_ref, dk_ref, dv_ref,
+    *, n_head, hd, kvh, tile_k, seq_len, causal,
+):
+    ik = pl.program_id(1)
+    t_pad = q_ref.shape[1]
+    scale = jnp.float32(1.0 / math.sqrt(hd))
+    # rows = all query positions, cols = this key tile
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (t_pad, tile_k), 0)
+    k_pos = ik * jnp.int32(tile_k) + jax.lax.broadcasted_iota(
+        jnp.int32, (t_pad, tile_k), 1
+    )
+    mask = k_pos < jnp.int32(seq_len)
+    if causal:
+        mask = mask & (k_pos <= q_pos)
+
+    dk_acc = None
+    dv_acc = None
+    for h in range(n_head):
+        sl = slice(h * hd, (h + 1) * hd)
+        ksl = slice(0, hd) if kvh == 1 else sl
+        kf = k_ref[0][:, ksl]  # (tile_k, hd)
+        vf = v_ref[0][:, ksl]
+        qh = q_ref[0][:, sl]  # (t_pad, hd)
+        s = _mm(qh, kf, ((1,), (1,))) * scale  # (t_pad, tile_k)
+        s = jnp.where(mask, s, jnp.float32(NEG_INF))
+        lse_h = lse_ref[0][:, h : h + 1]  # (t_pad, 1)
+        p = jnp.where(mask, jnp.exp(s - lse_h), jnp.float32(0.0))
+        doh = do_ref[0][:, sl]  # (t_pad, hd)
+        p_op = p.astype(doh.dtype)
+        dv_h = _mm(p_op, doh, ((0,), (0,)))  # (tile_k, hd)
+        dp = _mm(doh, vf, ((1,), (1,)))  # (t_pad, tile_k)
+        d_h = dcol_ref[0][:, h : h + 1]
+        ds = p * (dp - d_h)
+        # dk = scale * ds^T @ q
+        dk_h = _mm(ds.astype(qh.dtype), qh, ((0,), (0,))) * scale  # (tile_k, hd)
+        if kvh == 1:
+            dk_acc = dk_h if dk_acc is None else dk_acc + dk_h
+            dv_acc = dv_h if dv_acc is None else dv_acc + dv_h
+        else:
+            dk_ref[0, :, sl] = dk_h.astype(dk_ref.dtype)
+            dv_ref[0, :, sl] = dv_h.astype(dv_ref.dtype)
+
+    if kvh == 1:
+        pad = dk_ref.shape[2] - hd
+        if pad:
+            zeros = jnp.zeros((dk_acc.shape[0], pad), jnp.float32)
+            dk_acc = jnp.concatenate([dk_acc, zeros], axis=1)
+            dv_acc = jnp.concatenate([dv_acc, zeros], axis=1)
+        dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _bwd_fused_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dcol_ref, dq_ref, dk_ref, dv_ref,
+    *, n_head, hd, kvh, seq_len, causal,
+):
+    """Single-program backward (dq + dk + dv) for the whole-sequence-per-tile
+    case: shares the s/p recomputation between the dq and dk/dv paths and
+    pays one kernel launch + one set of input DMAs instead of two (program
+    launch overhead is ~17us on tunneled runtimes — it dominates small
+    grids)."""
+    t_pad = q_ref.shape[1]
+    scale = jnp.float32(1.0 / math.sqrt(hd))
+    q_pos, k_pos = _positions(t_pad, t_pad, jnp.int32(0))
+    mask = k_pos < jnp.int32(seq_len)
+    if causal:
+        mask = mask & (k_pos <= q_pos)
+
+    if kvh == 1:
+        kf = k_ref[0][:, :hd]
+        vf = v_ref[0][:, :hd]
+
+    dk_acc = None
+    dv_acc = None
+    for h in range(n_head):
+        sl = slice(h * hd, (h + 1) * hd)
+        if kvh != 1:
+            kf = k_ref[0][:, sl]
+            vf = v_ref[0][:, sl]
+        qh = q_ref[0][:, sl]
+        s = _mm(qh, kf, ((1,), (1,))) * scale
+        s = jnp.where(mask, s, jnp.float32(NEG_INF))
+        lse_h = lse_ref[0][:, h : h + 1]
+        p = jnp.where(mask, jnp.exp(s - lse_h), jnp.float32(0.0))
+        doh = do_ref[0][:, sl]
+        dp = _mm(doh, vf, ((1,), (1,)))
+        d_h = dcol_ref[0][:, h : h + 1]
+        ds = p * (dp - d_h)
+        ds_op = ds.astype(kf.dtype)
+        dq = _mm(ds_op, kf, ((1,), (0,)))
+        dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
+        dv_h = _mm(p.astype(doh.dtype), doh, ((0,), (0,)))
+        dk_h = _mm(ds_op, qh, ((0,), (0,))) * scale
+        if kvh == 1:
+            dk_acc = dk_h if dk_acc is None else dk_acc + dk_h
+            dv_acc = dv_h if dv_acc is None else dv_acc + dv_h
+        else:
+            dk_ref[0, :, sl] = dk_h.astype(dk_ref.dtype)
+            dv_ref[0, :, sl] = dv_h.astype(dv_ref.dtype)
+
+    if kvh == 1:
+        pad = dk_ref.shape[2] - hd
+        if pad:
+            zeros = jnp.zeros((dk_acc.shape[0], pad), jnp.float32)
+            dk_acc = jnp.concatenate([dk_acc, zeros], axis=1)
+            dv_acc = jnp.concatenate([dv_acc, zeros], axis=1)
+        dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _resolve_tile(t: int, tile: Optional[int]) -> int:
+    """Pick the q/k tile size.
+
+    Program-launch overhead dominates small tiles on this hardware
+    (measured ~17us fixed cost per grid program), so prefer one program
+    per (batch, whole-sequence) up to 512 rows, then split.
+    """
+    if tile is not None:
+        return tile
+    return _ceil_to(t, _LANE) if t <= 512 else 256
+
+
+def _pad_args(q, k, v, n_head, tile):
+    """Lane-pad to 128 multiples and row-pad T to the tile size."""
+    b, t, qc = q.shape
+    hd = qc // n_head
+    kvh = 1 if k.shape[-1] == hd else n_head
+    t_pad = _ceil_to(max(t, tile), tile)
+    qc_pad = _ceil_to(qc, _LANE)
+    kc_pad = _ceil_to(k.shape[-1], _LANE)
+    q = jnp.pad(q, [(0, 0), (0, t_pad - t), (0, qc_pad - qc)])
+    k = jnp.pad(k, [(0, 0), (0, t_pad - t), (0, kc_pad - k.shape[-1])])
+    v = jnp.pad(v, [(0, 0), (0, t_pad - t), (0, kc_pad - v.shape[-1])])
+    return q, k, v, hd, kvh, t_pad, qc_pad, kc_pad
+
+
+def _block2(c, tile):
+    # index-map constants must be i32: under jax_enable_x64 a bare `0`
+    # weak-promotes to i64, which Mosaic cannot legalize
+    return pl.BlockSpec(
+        (1, tile, c), lambda b, i: (b, i, jnp.int32(0)), memory_space=pltpu.VMEM
+    )
+
+
+def _block_full(c, t_pad):
+    return pl.BlockSpec(
+        (1, t_pad, c),
+        lambda b, i: (b, jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _fused_fwd_impl(q, k, v, n_head, causal, tile, interpret):
+    b, t, qc = q.shape
+    out_dtype = q.dtype
+    tile = _resolve_tile(t, tile)
+    q, k, v, hd, kvh, t_pad, qc_pad, kc_pad = _pad_args(q, k, v, n_head, tile)
+    lse_lanes = _ceil_to(n_head, _LANE)
+    grid = (b, t_pad // tile)
+    kernel = functools.partial(
+        _fwd_kernel, n_head=n_head, hd=hd, kvh=kvh, tile_q=tile,
+        seq_len=t, causal=causal,
+    )
+    o_pad, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, qc_pad), out_dtype),
+            jax.ShapeDtypeStruct((b, t_pad, lse_lanes), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            _block2(qc_pad, tile),
+            _block_full(kc_pad, t_pad),
+            _block_full(kc_pad, t_pad),
+        ],
+        out_specs=(_block2(qc_pad, tile), _block2(lse_lanes, tile)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_head * t * t * hd // (2 if causal else 1),
+            bytes_accessed=q.size * q.dtype.itemsize * 2
+            + 2 * k.size * k.dtype.itemsize,
+            transcendentals=n_head * t * t,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return o_pad, lse, (q, k, v, hd, kvh, t_pad, qc_pad, kc_pad)
+
+
+def _interpret_default(interpret: Optional[bool]) -> bool:
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return interpret
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_head: int,
+    causal: bool = True,
+    tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Folded-head flash attention.
+
+    q: (B, T, n_head*hd) — natural projection layout, heads in lanes.
+    k, v: (B, T, hd) for MQA or (B, T, n_head*hd) for MHA.
+    Returns (B, T, n_head*hd) in q's dtype. Differentiable wrt q/k/v.
+    """
+    interpret = _interpret_default(interpret)
+    b, t, qc = q.shape
+    o_pad, _, _ = _fused_fwd_impl(q, k, v, n_head, causal, tile, interpret)
+    return o_pad[:, :t, :qc]
+
+
+def _fused_vjp_fwd(q, k, v, n_head, causal, tile, interpret):
+    interpret_ = _interpret_default(interpret)
+    b, t, qc = q.shape
+    o_pad, lse, (qp, kp, vp, hd, kvh, t_pad, qc_pad, kc_pad) = _fused_fwd_impl(
+        q, k, v, n_head, causal, tile, interpret_
+    )
+    res = (qp, kp, vp, o_pad, lse, t, qc, k.shape[-1], hd, kvh)
+    return o_pad[:, :t, :qc], res
+
+
+def _fused_vjp_bwd(n_head, causal, tile, interpret, res, g):
+    interpret_ = _interpret_default(interpret)
+    qp, kp, vp, o_pad, lse, t, qc, kc, hd, kvh = res
+    tile = _resolve_tile(t, tile)
+    b, t_pad, qc_pad = qp.shape
+    kc_pad = kp.shape[-1]
+    lse_lanes = lse.shape[-1]
+
+    g_pad = jnp.pad(
+        g.astype(qp.dtype), [(0, 0), (0, t_pad - t), (0, qc_pad - qc)]
+    )
+    # D_h = rowsum(dO_h * O_h): tiny (B, T, H) tensor, computed in XLA
+    prod = (g_pad.astype(jnp.float32) * o_pad.astype(jnp.float32))[:, :, : n_head * hd]
+    dcol = prod.reshape(b, t_pad, n_head, hd).sum(-1)
+    dcol = jnp.pad(dcol, [(0, 0), (0, 0), (0, lse_lanes - n_head)])
+
+    if t_pad == tile:
+        # whole sequence in one q tile: a single kernel produces dq+dk+dv,
+        # sharing the s/p recomputation and one set of input DMAs
+        fused_kernel = functools.partial(
+            _bwd_fused_kernel, n_head=n_head, hd=hd, kvh=kvh,
+            seq_len=t, causal=causal,
+        )
+        dq_pad, dk_pad, dv_pad = pl.pallas_call(
+            fused_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t_pad, qc_pad), qp.dtype),
+                jax.ShapeDtypeStruct((b, t_pad, kc_pad), kp.dtype),
+                jax.ShapeDtypeStruct((b, t_pad, kc_pad), vp.dtype),
+            ),
+            grid=(b, 1),
+            in_specs=[
+                _block_full(qc_pad, t_pad),
+                _block_full(kc_pad, t_pad),
+                _block_full(kc_pad, t_pad),
+                _block_full(qc_pad, t_pad),
+                _block_full(lse_lanes, t_pad),
+                _block_full(lse_lanes, t_pad),
+            ],
+            out_specs=(
+                _block_full(qc_pad, t_pad),
+                _block_full(kc_pad, t_pad),
+                _block_full(kc_pad, t_pad),
+            ),
+            interpret=interpret_,
+        )(qp, kp, vp, g_pad, lse, dcol)
+        return (
+            dq_pad[:, :t, :qc],
+            dk_pad[:, :t, :kc],
+            dv_pad[:, :t, :kc],
+        )
+
+    grid_q = (b, t_pad // tile)
+    dq_kernel = functools.partial(
+        _dq_kernel, n_head=n_head, hd=hd, kvh=kvh, tile_q=tile,
+        seq_len=t, causal=causal,
+    )
+    dq_pad = pl.pallas_call(
+        dq_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, qc_pad), qp.dtype),
+        grid=grid_q,
+        in_specs=[
+            _block2(qc_pad, tile),
+            _block_full(kc_pad, t_pad),
+            _block_full(kc_pad, t_pad),
+            _block2(qc_pad, tile),
+            _block2(lse_lanes, tile),
+            _block2(lse_lanes, tile),
+        ],
+        out_specs=_block2(qc_pad, tile),
+        interpret=interpret_,
+    )(qp, kp, vp, g_pad, lse, dcol)
+
+    dkv_kernel = functools.partial(
+        _dkv_kernel, n_head=n_head, hd=hd, kvh=kvh, tile_k=tile,
+        seq_len=t, causal=causal,
+    )
+    dk_pad, dv_pad = pl.pallas_call(
+        dkv_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, kc_pad), kp.dtype),
+            jax.ShapeDtypeStruct((b, t_pad, kc_pad), vp.dtype),
+        ),
+        grid=(b, t_pad // tile),
+        in_specs=[
+            _block_full(qc_pad, t_pad),
+            _block2(kc_pad, tile),
+            _block2(kc_pad, tile),
+            _block_full(qc_pad, t_pad),
+            _block_full(lse_lanes, t_pad),
+            _block_full(lse_lanes, t_pad),
+        ],
+        out_specs=(_block2(kc_pad, tile), _block2(kc_pad, tile)),
+        interpret=interpret_,
+    )(qp, kp, vp, g_pad, lse, dcol)
+
+    dq = dq_pad[:, :t, :qc]
+    dk = dk_pad[:, :t, :kc]
+    dv = dv_pad[:, :t, :kc]
+    return dq, dk, dv
+
+
+fused_flash_attention.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
