@@ -29,6 +29,7 @@ cfg = LTHMModelConfig(
     transformer_config=TransformerConfig(
         rotator_config={"ff_mult": 4}, is_causal=True, num_layers=layers,
         enable_gradient_checkpointing=False,
+        use_flash_attention=True,
         attn_config=SelfAttentionConfig(
             n_head=max(4, d // 16), n_embd=d, attn_type="multi_query",
             dropout=0.0, attn_dropout=0.0, bias=False,
