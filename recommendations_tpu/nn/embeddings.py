@@ -186,7 +186,12 @@ class KShiftEmbedding(nn.Module):
         if self.compute_dtype is not None:
             table = table.astype(self.compute_dtype)
         idx = kshift_row_indices(ids, self.num_embeddings, self.num_shifts)
-        x = _take_rows(table, idx)  # (..., k, d)
+        # gather whose backward is a two-level bucketed scatter-add
+        # (ops/bucketed_scatter): XLA's serialized scatter was ~10ms/step on
+        # the 1M-row LTHM table; on-chip per-bucket accumulation halves it
+        from recommendations_tpu.ops.bucketed_scatter import gather_rows
+
+        x = gather_rows(table, idx)  # (..., k, d)
         x = jnp.sum(x, axis=-2).astype(jnp.float32)
         if self.normalize_output:
             return l2_normalize(x)
