@@ -47,6 +47,8 @@ class PjitTrainingStrategyConfig(TrainingStrategyConfig):
     profile_dir: str | None = None
     profile_start_step: int = 10
     profile_num_steps: int = 5
+    # sanitizer mode: checkify every step for NaN/Inf/OOB (slow; debug only)
+    debug_numerics: bool = False
 
 
 class SingleDeviceTrainingStrategyConfig(TrainingStrategyConfig):

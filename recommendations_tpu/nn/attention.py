@@ -122,9 +122,15 @@ class _AttentionBase(nn.Module):
     use_flash: bool = False
     dtype: Optional[jnp.dtype] = None
 
-    def _flash_eligible(self, mask) -> bool:
-        """Pallas fused-head path: no additive mask / relative-position bias."""
-        return self.use_flash and mask is None and self.pos_bias_window is None
+    def _flash_eligible(self, mask, seq_len: int) -> bool:
+        """Pallas fused-head path: no additive mask / relative-position bias,
+        and a sequence length where the kernel beats XLA (ops/fused_attention
+        RECOMMENDED_MAX_SEQ)."""
+        if not self.use_flash or mask is not None or self.pos_bias_window is not None:
+            return False
+        from recommendations_tpu.ops.fused_attention import fused_flash_recommended
+
+        return fused_flash_recommended(seq_len)
 
     def _fused_flash(self, q2, k2, v2, causal):
         """Folded-layout flash attention: q2 (B,T,H*hd), k2/v2 (B,T,hd|H*hd).
@@ -191,7 +197,7 @@ class MultiQueryAttention(_AttentionBase):
         kv = nn.Dense(2 * hd, use_bias=self.use_bias, dtype=self.dtype, name="kv_proj")(x)
         k, v = jnp.split(kv, 2, axis=-1)
 
-        if self._flash_eligible(mask):
+        if self._flash_eligible(mask, t):
             q2, k2, v2 = self._apply_folded_dropout(q, k, v, deterministic)
             y = self._fused_flash(q2, k2, v2, causal)
         else:
@@ -223,7 +229,7 @@ class MultiHeadAttention(_AttentionBase):
         qkv = nn.Dense(3 * self.n_embd, use_bias=self.use_bias, dtype=self.dtype, name="c_attn")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        if self._flash_eligible(mask):
+        if self._flash_eligible(mask, t):
             q2, k2, v2 = self._apply_folded_dropout(q, k, v, deterministic)
             y = self._fused_flash(q2, k2, v2, causal)
         else:

@@ -67,35 +67,89 @@ def _mm(a, b, dims):
     return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
 
 
+# attended-dim chunk: bounds every in-kernel (rows, t) buffer to
+# (tile, 512) f32 — unrolled 32-head loops with ~(256, 768)+ logits buffers
+# crash this Mosaic build (compiler blow-up, no diagnostic)
+KV_CHUNK = 512
+
+# Above this sequence length the chunked multi-tile path is correct but
+# measured slower than XLA on v5e (program-launch overhead + fori chunk
+# loops: seq-1024 LTHM step 175ms fused vs 138ms XLA), so the attention
+# modules auto-fall-back. Below it the single-tile path wins decisively
+# (seq-256 step 70 -> 62ms).
+RECOMMENDED_MAX_SEQ = 512
+
+
+def fused_flash_recommended(seq_len: int) -> bool:
+    """Whether the fused kernel is expected to beat the XLA path."""
+    return seq_len <= RECOMMENDED_MAX_SEQ
+
+
+def _chunk_mask(rows: int, cols: int, row0, col0, seq_len: int, causal: bool):
+    q_pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    k_pos = col0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    mask = k_pos < jnp.int32(seq_len)
+    if causal:
+        mask = mask & (k_pos <= q_pos)
+    return mask
+
+
 def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, *, n_head, hd, kvh, tile_q, seq_len, causal
 ):
     iq = pl.program_id(1)
     t_pad = k_ref.shape[1]
+    kc_size = min(KV_CHUNK, t_pad)
+    n_chunks = t_pad // kc_size
     scale = jnp.float32(1.0 / math.sqrt(hd))
-    q_pos, k_pos = _positions(tile_q, t_pad, iq * jnp.int32(tile_q))
-    mask = k_pos < jnp.int32(seq_len)
+    row0 = iq * jnp.int32(tile_q)
+    # causal: keys beyond this q tile's last row are fully masked — bound
+    # the chunk loop instead of computing masked chunks (traced fori bound)
     if causal:
-        mask = mask & (k_pos <= q_pos)
-
-    if kvh == 1:
-        kf = k_ref[0][:, :hd]
-        vf = v_ref[0][:, :hd]
+        chunk_hi = jnp.minimum(
+            jnp.int32(n_chunks),
+            (row0 + jnp.int32(tile_q) + jnp.int32(kc_size) - 1) // jnp.int32(kc_size),
+        )
+    else:
+        chunk_hi = jnp.int32(n_chunks)
 
     lse_cols = []
     for h in range(n_head):
         sl = slice(h * hd, (h + 1) * hd)
-        if kvh != 1:
-            kf = k_ref[0][:, sl]
-            vf = v_ref[0][:, sl]
+        ksl = slice(0, hd) if kvh == 1 else sl
         qh = q_ref[0][:, sl]
-        s = _mm(qh, kf, ((1,), (1,))) * scale
-        s = jnp.where(mask, s, jnp.float32(NEG_INF))
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=-1, keepdims=True)
-        o = _mm(p.astype(vf.dtype), vf, ((1,), (0,)))
-        o_ref[0, :, sl] = (o / jnp.maximum(l, jnp.float32(1e-30))).astype(o_ref.dtype)
+
+        # online-softmax recurrence over KV chunks (flash forward)
+        def chunk_step(c, carry):
+            m, l, acc = carry
+            c0 = c * jnp.int32(kc_size)
+            kc = k_ref[0, pl.ds(c0, kc_size), ksl]
+            vc = v_ref[0, pl.ds(c0, kc_size), ksl]
+            s = _mm(qh, kc, ((1,), (1,))) * scale
+            mask = _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
+            s = jnp.where(mask, s, jnp.float32(NEG_INF))
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + _mm(p.astype(vc.dtype), vc, ((1,), (0,)))
+            return m_new, l, acc
+
+        init = (
+            jnp.full((tile_q, 1), jnp.float32(NEG_INF)),
+            jnp.zeros((tile_q, 1), jnp.float32),
+            jnp.zeros((tile_q, hd), jnp.float32),
+        )
+        if n_chunks == 1:  # hot path (T <= KV_CHUNK): keep straight-line code
+            m, l, acc = chunk_step(jnp.int32(0), init)
+        else:
+            # fori_loop keeps code size flat in n_chunks: this Mosaic build
+            # crashes (no diagnostic) past ~32 unrolled head x chunk segments.
+            # Bounds must be i32: under global x64 a python-int bound makes
+            # the counter i64, whose convert lowering recurses forever
+            m, l, acc = jax.lax.fori_loop(jnp.int32(0), chunk_hi, chunk_step, init)
+        o = acc / jnp.maximum(l, jnp.float32(1e-30))
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
         lse_cols.append(m + jnp.log(jnp.maximum(l, jnp.float32(1e-30))))
 
     lse = jnp.concatenate(lse_cols, axis=1)  # (tile_q, n_head)
@@ -111,32 +165,43 @@ def _dq_kernel(
 ):
     iq = pl.program_id(1)
     t_pad = k_ref.shape[1]
+    kc_size = min(KV_CHUNK, t_pad)
+    n_chunks = t_pad // kc_size
     scale = jnp.float32(1.0 / math.sqrt(hd))
-    q_pos, k_pos = _positions(tile_q, t_pad, iq * jnp.int32(tile_q))
-    mask = k_pos < jnp.int32(seq_len)
+    row0 = iq * jnp.int32(tile_q)
     if causal:
-        mask = mask & (k_pos <= q_pos)
-
-    if kvh == 1:
-        kf = k_ref[0][:, :hd]
-        vf = v_ref[0][:, :hd]
+        chunk_hi = jnp.minimum(
+            jnp.int32(n_chunks),
+            (row0 + jnp.int32(tile_q) + jnp.int32(kc_size) - 1) // jnp.int32(kc_size),
+        )
+    else:
+        chunk_hi = jnp.int32(n_chunks)
 
     for h in range(n_head):
         sl = slice(h * hd, (h + 1) * hd)
-        if kvh != 1:
-            kf = k_ref[0][:, sl]
-            vf = v_ref[0][:, sl]
+        ksl = slice(0, hd) if kvh == 1 else sl
         qh = q_ref[0][:, sl]
-        s = _mm(qh, kf, ((1,), (1,))) * scale
-        s = jnp.where(mask, s, jnp.float32(NEG_INF))
-        lse_h = lse_ref[0][:, h : h + 1]
-        p = jnp.where(mask, jnp.exp(s - lse_h), jnp.float32(0.0))
         doh = do_ref[0][:, sl]
-        dp = _mm(doh, vf, ((1,), (1,)))
+        lse_h = lse_ref[0][:, h : h + 1]
         d_h = dcol_ref[0][:, h : h + 1]
-        ds = p * (dp - d_h)
-        dq = _mm(ds.astype(kf.dtype), kf, ((1,), (0,)))
-        dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
+
+        def chunk_step(c, dq_acc):
+            c0 = c * jnp.int32(kc_size)
+            kc = k_ref[0, pl.ds(c0, kc_size), ksl]
+            vc = v_ref[0, pl.ds(c0, kc_size), ksl]
+            s = _mm(qh, kc, ((1,), (1,))) * scale
+            mask = _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
+            p = jnp.where(mask, jnp.exp(s - lse_h), jnp.float32(0.0))
+            dp = _mm(doh, vc, ((1,), (1,)))
+            ds = p * (dp - d_h)
+            return dq_acc + _mm(ds.astype(kc.dtype), kc, ((1,), (0,)))
+
+        init = jnp.zeros((tile_q, hd), jnp.float32)
+        if n_chunks == 1:
+            dq_acc = chunk_step(jnp.int32(0), init)
+        else:
+            dq_acc = jax.lax.fori_loop(jnp.int32(0), chunk_hi, chunk_step, init)
+        dq_ref[0, :, sl] = (dq_acc * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
@@ -145,15 +210,13 @@ def _dkv_kernel(
 ):
     ik = pl.program_id(1)
     t_pad = q_ref.shape[1]
+    qc_size = min(KV_CHUNK, t_pad)
+    n_chunks = t_pad // qc_size
     scale = jnp.float32(1.0 / math.sqrt(hd))
-    # rows = all query positions, cols = this key tile
-    q_pos = jax.lax.broadcasted_iota(jnp.int32, (t_pad, tile_k), 0)
-    k_pos = ik * jnp.int32(tile_k) + jax.lax.broadcasted_iota(
-        jnp.int32, (t_pad, tile_k), 1
-    )
-    mask = k_pos < jnp.int32(seq_len)
-    if causal:
-        mask = mask & (k_pos <= q_pos)
+    col0 = ik * jnp.int32(tile_k)
+    # causal: query rows before this key tile are fully masked — start the
+    # chunk loop at the first chunk that can attend to col0
+    chunk_lo = col0 // jnp.int32(qc_size) if causal else jnp.int32(0)
 
     dk_acc = None
     dv_acc = None
@@ -162,19 +225,33 @@ def _dkv_kernel(
         ksl = slice(0, hd) if kvh == 1 else sl
         kf = k_ref[0][:, ksl]  # (tile_k, hd)
         vf = v_ref[0][:, ksl]
-        qh = q_ref[0][:, sl]  # (t_pad, hd)
-        s = _mm(qh, kf, ((1,), (1,))) * scale  # (t_pad, tile_k)
-        s = jnp.where(mask, s, jnp.float32(NEG_INF))
-        lse_h = lse_ref[0][:, h : h + 1]  # (t_pad, 1)
-        p = jnp.where(mask, jnp.exp(s - lse_h), jnp.float32(0.0))
-        doh = do_ref[0][:, sl]  # (t_pad, hd)
-        p_op = p.astype(doh.dtype)
-        dv_h = _mm(p_op, doh, ((0,), (0,)))  # (tile_k, hd)
-        dp = _mm(doh, vf, ((1,), (1,)))  # (t_pad, tile_k)
-        d_h = dcol_ref[0][:, h : h + 1]
-        ds = p * (dp - d_h)
-        # dk = scale * ds^T @ q
-        dk_h = _mm(ds.astype(qh.dtype), qh, ((0,), (0,))) * scale  # (tile_k, hd)
+
+        # chunk over query rows: buffers stay (qc_size, tile_k)
+        def chunk_step(c, carry):
+            dk_h, dv_h = carry
+            r0 = c * jnp.int32(qc_size)
+            qh = q_ref[0, pl.ds(r0, qc_size), sl]  # (qc, hd)
+            doh = do_ref[0, pl.ds(r0, qc_size), sl]
+            lse_h = lse_ref[0, pl.ds(r0, qc_size), h : h + 1]
+            d_h = dcol_ref[0, pl.ds(r0, qc_size), h : h + 1]
+            s = _mm(qh, kf, ((1,), (1,))) * scale  # (qc, tile_k)
+            mask = _chunk_mask(qc_size, tile_k, r0, col0, seq_len, causal)
+            p = jnp.where(mask, jnp.exp(s - lse_h), jnp.float32(0.0))
+            dv_h = dv_h + _mm(p.astype(doh.dtype), doh, ((0,), (0,)))
+            dp = _mm(doh, vf, ((1,), (1,)))  # (qc, tile_k)
+            ds = p * (dp - d_h)
+            dk_h = dk_h + _mm(ds.astype(qh.dtype), qh, ((0,), (0,)))
+            return dk_h, dv_h
+
+        init = (
+            jnp.zeros((tile_k, hd), jnp.float32),
+            jnp.zeros((tile_k, hd), jnp.float32),
+        )
+        if n_chunks == 1:
+            dk_h, dv_h = chunk_step(jnp.int32(0), init)
+        else:
+            dk_h, dv_h = jax.lax.fori_loop(chunk_lo, jnp.int32(n_chunks), chunk_step, init)
+        dk_h = dk_h * scale
         if kvh == 1:
             dk_acc = dk_h if dk_acc is None else dk_acc + dk_h
             dv_acc = dv_h if dv_acc is None else dv_acc + dv_h
@@ -255,19 +332,24 @@ def _resolve_tile(t: int, tile: Optional[int]) -> int:
 
     Program-launch overhead dominates small tiles on this hardware
     (measured ~17us fixed cost per grid program), so prefer one program
-    per (batch, whole-sequence) up to 512 rows, then split.
+    per (batch, whole-sequence) up to 384 rows, then split. 512-row q
+    tiles fail to compile on this Mosaic build (512x512 f32 logits
+    buffers x 32 unrolled heads) — stay at <=384 or 256.
     """
     if tile is not None:
         return tile
-    return _ceil_to(t, _LANE) if t <= 512 else 256
+    return _ceil_to(t, _LANE) if t <= 384 else 256
 
 
 def _pad_args(q, k, v, n_head, tile):
-    """Lane-pad to 128 multiples and row-pad T to the tile size."""
+    """Lane-pad to 128 multiples and row-pad T to the tile size (and, when
+    chunking kicks in, to a whole number of KV_CHUNK chunks)."""
     b, t, qc = q.shape
     hd = qc // n_head
     kvh = 1 if k.shape[-1] == hd else n_head
     t_pad = _ceil_to(max(t, tile), tile)
+    if t_pad > KV_CHUNK:
+        t_pad = _ceil_to(t_pad, (tile * KV_CHUNK) // math.gcd(tile, KV_CHUNK))
     qc_pad = _ceil_to(qc, _LANE)
     kc_pad = _ceil_to(k.shape[-1], _LANE)
     q = jnp.pad(q, [(0, 0), (0, t_pad - t), (0, qc_pad - qc)])
@@ -381,7 +463,7 @@ def _fused_vjp_bwd(n_head, causal, tile, interpret, res, g):
     dcol = prod.reshape(b, t_pad, n_head, hd).sum(-1)
     dcol = jnp.pad(dcol, [(0, 0), (0, 0), (0, lse_lanes - n_head)])
 
-    if t_pad == tile:
+    if t_pad == tile and t_pad <= KV_CHUNK:
         # whole sequence in one q tile: a single kernel produces dq+dk+dv,
         # sharing the s/p recomputation and one set of input DMAs
         fused_kernel = functools.partial(

@@ -135,6 +135,13 @@ class PjitTrainingStrategy(TrainingStrategy):
             )
             return loss, metrics
 
+        if getattr(self.config, "debug_numerics", False):
+            # sanitizer mode (SURVEY §5): trap NaN/Inf/OOB at the offending
+            # op; checkify composes poorly with donation, so skip it here
+            from recommendations_tpu.core.debug import checked_step
+
+            return checked_step(train_step), checked_step(val_step)
+
         donate = (0,) if self.config.donate_state else ()
         return (
             jax.jit(train_step, donate_argnums=donate),

@@ -107,6 +107,32 @@ def test_fused_grads_single_tile_path(kvh):
         )
 
 
+def test_fused_long_seq_chunked_path():
+    """T large enough that the in-kernel KV_CHUNK loop runs >1 chunk (both
+    forward online-softmax and the chunked dq/dkv backward)."""
+    b, t, n_head, hd = 1, 700, 2, 16
+    q, k, v = _make(b, t, n_head, hd, 1, seed=21)
+    cot = jax.random.normal(jax.random.PRNGKey(22), q.shape, jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_flash_attention(q, k, v, n_head, True, 128, True) * cot)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense_folded(q, k, v, n_head, True) * cot)
+
+    got_o = fused_flash_attention(q, k, v, n_head, True, 128, True)
+    want_o = _dense_folded(q, k, v, n_head, True)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o), rtol=2e-4, atol=2e-4)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
 def test_fused_grad_of_mean_pooled_output():
     """End-to-end shaped like the LTHM usage: grad flows through a reduction."""
     b, t, n_head, hd = 2, 40, 2, 8
