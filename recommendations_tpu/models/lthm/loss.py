@@ -87,9 +87,15 @@ def _ce_rows(
     beta_f = jnp.float32(beta)
 
     def masked_adj(q, c, vv, lqv):
+        # store the (N, N) GEMM output in the operand dtype (bf16 on TPU):
+        # it is the dominant HBM tensor of the loss; the f32 upcast fuses
+        # into the elementwise mask/exp consumers so f32 never hits HBM.
+        # bf16 quantum at |logit|<=1/temperature is coarse (~0.125 at 20),
+        # but the *adjusted* CE subtracts a same-magnitude diagonal — the
+        # measured step-loss delta vs f32 storage is <0.01% (see commit).
         raw = jax.lax.dot_general(
-            q, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * inv_t
+            q, c, (((1,), (1,)), ((), ())), preferred_element_type=q.dtype
+        ).astype(jnp.float32) * inv_t
         i_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         j_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         same_user = (i_idx // s) == (j_idx // s)
