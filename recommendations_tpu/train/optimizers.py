@@ -56,9 +56,16 @@ def build_optimizer(
     group_txs = wrapper.optimizers_for_param_groups()
     if group_txs:
         labels = wrapper.param_labels(params)
-        txs = dict(group_txs)
-        txs.setdefault(DEFAULT_OPTIM_GROUP, _default_tx(train_config))
-        tx = optax.multi_transform(txs, labels)
+        label_set = {l for l in jax.tree_util.tree_leaves(labels)}
+        if len(group_txs) == 1 and label_set == set(group_txs):
+            # single group claiming every param (e.g. LTHM's one AdamW,
+            # reference wrapper.py:260-275): skip multi_transform's
+            # mask/merge passes over the full param tree
+            tx = next(iter(group_txs.values()))
+        else:
+            txs = dict(group_txs)
+            txs.setdefault(DEFAULT_OPTIM_GROUP, _default_tx(train_config))
+            tx = optax.multi_transform(txs, labels)
     else:
         tx = _default_tx(train_config)
 
