@@ -179,17 +179,17 @@ class QueryTower(nn.Module):
             4, emb_dim, compute_dtype=dtype, name="outcome_conditioning"
         )(outcomes)
 
-        # one linear head per lookahead horizon → (B, S+1, K, D_prod);
-        # heads output float32 for the contrastive loss
+        # one linear head per lookahead horizon → (B, S+1, K, D_prod).
+        # All K heads share the input, so they run as ONE (emb_dim, K*D)
+        # matmul instead of K skinny dispatches (reference stacks separate
+        # Linears, query_tower.py:117-123); output f32 for the loss.
         x = x.astype(dtype)
-        heads = [
-            nn.Dense(
-                cfg.product_tower.product_emb_dim, use_bias=False,
-                dtype=dtype, name=f"emb_head_{i}",
-            )(x).astype(jnp.float32)
-            for i in range(cfg.export_tokens)
-        ]
-        y = jnp.stack(heads, axis=2)
+        d_prod = cfg.product_tower.product_emb_dim
+        y = nn.Dense(
+            cfg.export_tokens * d_prod, use_bias=False, dtype=dtype,
+            name="emb_heads",
+        )(x).astype(jnp.float32)
+        y = y.reshape(bsz, y.shape[1], cfg.export_tokens, d_prod)
 
         return {
             "current_token_emb": target,

@@ -267,7 +267,7 @@ def test_gradients_flow_and_product_module_detached():
     grads = jax.grad(loss_fn)(vs["params"])
     g_emb = np.asarray(grads["product_emb_module"]["embedding"])
     assert np.abs(g_emb).max() == 0.0
-    g_head = np.asarray(grads["query_tower"]["emb_head_0"]["kernel"])
+    g_head = np.asarray(grads["query_tower"]["emb_heads"]["kernel"])
     assert np.abs(g_head).max() > 0.0
 
 
