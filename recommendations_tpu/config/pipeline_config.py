@@ -37,6 +37,10 @@ class TrainerPipelineConfig(BaseModel):
     model_version: Optional[str] = None
     run_id: Optional[str] = None
     log_verbosity: int = 1
+    # Orbax checkpoint directory; with train.checkpoint_every_k_steps set,
+    # training saves full TrainState + data-iterator position here and
+    # resumes from the latest checkpoint on restart
+    checkpoint_dir: Optional[str] = None
 
     model: ModelConfig
     dataset: TrainDatasetConfig

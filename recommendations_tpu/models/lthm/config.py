@@ -183,6 +183,15 @@ class LTHMModelConfig(ModelConfig):
     # parallelism: shard the product-embedding table rows over the 'model'
     # mesh axis (the flagship TPU capability; no reference equivalent)
     shard_embedding_rows: bool = False
+    # collective schedule for the sharded lookup: 'alltoall' (unique-ID
+    # exchange — comm proportional to distinct rows touched; the pod-scale
+    # schedule) or 'psum' (owned-row all-reduce of the dense activation)
+    embedding_lookup_schedule: str = "alltoall"
+    # optimizer for the product-embedding table group: 'rowwise_adam'
+    # (second moment per row — halves optimizer-state memory on the one
+    # parameter that dominates it) or 'adamw' (reference puts everything in
+    # one AdamW group, wrapper.py:260-275)
+    table_optimizer: str = "rowwise_adam"
 
     @property
     def emb_dim(self) -> int:

@@ -250,6 +250,7 @@ class LTHMEncoder(nn.Module):  # noqa: D101  (docstring below)
                 normalize_output=tc.latent_model_config.normalize_embedding,
                 mesh=self.mesh,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
+                schedule=cfg.embedding_lookup_schedule,
                 name="product_emb_module",
             )(ids)
         else:

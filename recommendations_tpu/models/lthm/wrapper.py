@@ -126,11 +126,28 @@ class LTHMModelWrapper(BaseModelWrapper):
         )
         return loss, (metrics, new_aux)
 
-    # ----- optimizers (reference wrapper.py:260-275: one AdamW group) --------
+    # ----- optimizers ---------------------------------------------------------
+    # The reference puts everything in one AdamW group (wrapper.py:260-275)
+    # but gestures at per-group optimizers via optim_group/sparse flags
+    # (base_model_wrapper.py:51-72).  Here the product-embedding table — the
+    # one parameter that dominates memory — gets its own group on rowwise
+    # Adam (second moment per ROW: state is (N,d)+(N,1) instead of 2x(N,d)),
+    # and, when the table is row-sharded, its optimizer state is sharded
+    # with it (core/partitioning.opt_state_specs).
+
+    _TABLE_GROUP = "EMB_TABLE"
+
+    def _uses_rowwise_table(self) -> bool:
+        cfg = self.config
+        return (
+            cfg.table_optimizer == "rowwise_adam"
+            # a pretrained module lives in frozen constants — no table param
+            and cfg.product_tower.model_init_metadata is None
+        )
 
     def optimizers_for_param_groups(self) -> Optional[Dict[str, optax.GradientTransformation]]:
         cfg = self.config
-        return {
+        groups = {
             "USE_OPTIM": optax.adamw(
                 learning_rate=cfg.lr,
                 weight_decay=cfg.weight_decay,
@@ -138,9 +155,26 @@ class LTHMModelWrapper(BaseModelWrapper):
                 b2=cfg.betas[1],
             )
         }
+        if self._uses_rowwise_table():
+            from recommendations_tpu.train.optimizers import rowwise_adam
+
+            groups[self._TABLE_GROUP] = rowwise_adam(
+                learning_rate=cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1]
+            )
+        return groups
 
     def param_labels(self, params: Any) -> Any:
-        return jax.tree_util.tree_map(lambda _: "USE_OPTIM", params)
+        if not self._uses_rowwise_table():
+            return jax.tree_util.tree_map(lambda _: "USE_OPTIM", params)
+        table_group = self._TABLE_GROUP
+
+        def label(path, _):
+            parts = [str(getattr(p, "key", p)) for p in path]
+            if "product_emb_module" in parts:
+                return table_group
+            return "USE_OPTIM"
+
+        return jax.tree_util.tree_map_with_path(label, params)
 
     # ----- sharding ----------------------------------------------------------
 

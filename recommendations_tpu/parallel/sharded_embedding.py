@@ -16,8 +16,27 @@ For plain (non-summed) tables the same owned-row + psum trick performs the
 gather with one reduction; a ``psum_scatter`` variant keeps the activation
 sharded when the consumer is sharded the same way.
 
-Implemented with ``jax.shard_map`` so the collective schedule is explicit
-and deterministic rather than left to the SPMD partitioner.
+Two collective schedules are provided (both ``jax.shard_map`` so the
+schedule is explicit and deterministic rather than left to the SPMD
+partitioner):
+
+- ``psum``: every shard sums the rows it owns, one all-reduce of the
+  (tokens, d) activation.  Comm volume ~= 2 * tokens * d * 4 bytes per
+  lookup regardless of how many distinct rows the batch touches.
+- ``alltoall`` (the pod-scale schedule, BASELINE.json north star): each
+  device deduplicates the row indices it needs, exchanges *unique* row
+  requests with the owning shards via ``lax.all_to_all``, owners gather
+  locally, and a second all-to-all returns the embeddings; a final local
+  take scatters them back to token positions.  Comm volume is proportional
+  to the number of UNIQUE rows touched (requests ride as int32, activations
+  once in the compute dtype), which is what wins at 100M-row tables where
+  batches touch a sliver of the table and sessions repeat products heavily.
+
+The all-to-all buffers are static-shape: per-destination capacity is
+``capacity_factor * ceil(n_rows_requested / n_shards)`` (indices are
+xxhash-uniform over shards, so overflow probability decays exponentially);
+requests past capacity are dropped to zero embeddings and counted in the
+``overflow`` output so callers can alarm on it.
 """
 
 from __future__ import annotations
@@ -140,6 +159,227 @@ def sharded_embedding_lookup(
     )(table, ids)
 
 
+# ---------------------------------------------------------------------------
+# all-to-all unique-ID schedule
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def resolve_capacity(n_requests: int, n_shards: int, capacity_factor: float) -> int:
+    """Static per-destination request capacity, lane-aligned."""
+    base = (n_requests + n_shards - 1) // n_shards
+    return _round_up(max(int(math.ceil(base * capacity_factor)), 8), 128)
+
+
+def _unique_alltoall_gather(
+    table_shard: jnp.ndarray,
+    rows: jnp.ndarray,
+    *,
+    axis_name: str,
+    n_shards: int,
+    rows_per_shard: int,
+    capacity: int,
+    compute_dtype: Optional[jnp.dtype] = None,
+):
+    """Dedup → all-to-all → local gather → all-to-all return → local scatter.
+
+    ``rows``: (N,) global row indices local to this device.
+    Returns ((N, d) rows in f32, overflow count).  Differentiable w.r.t. the
+    table (take transposes to scatter-add; all_to_all transposes to the
+    reverse all_to_all), so the backward ships only unique-row gradients.
+    """
+    n = rows.shape[0]
+    d = table_shard.shape[-1]
+    idx_dtype = jnp.int32 if n_shards * rows_per_shard < 2**31 else jnp.int64
+    rows = rows.astype(idx_dtype)
+    if compute_dtype is not None:
+        table_shard = table_shard.astype(compute_dtype)
+
+    perm = jnp.argsort(rows)
+    sorted_rows = rows[perm]
+    uniq = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_rows[1:] != sorted_rows[:-1]]
+    )
+    rank = jnp.cumsum(uniq) - 1                       # unique rank per position
+    owner = sorted_rows // rows_per_shard             # non-decreasing
+    counts = jax.ops.segment_sum(
+        uniq.astype(idx_dtype), owner.astype(jnp.int32), num_segments=n_shards
+    )
+    offsets = jnp.cumsum(counts) - counts             # exclusive prefix
+    pos = (rank - offsets[owner]).astype(idx_dtype)   # slot within owner bucket
+    in_cap = pos < capacity
+    valid = uniq & in_cap
+    overflow = jnp.sum(uniq & ~in_cap)
+
+    # request buffer: send[s, p] = p-th unique row owned by shard s (-1 pad).
+    # scatter-with-drop keeps the shape static; invalid entries aim past the
+    # buffer and are dropped.
+    flat_target = jnp.where(
+        valid, owner * capacity + pos, jnp.asarray(n_shards * capacity, idx_dtype)
+    )
+    send = (
+        jnp.full((n_shards * capacity,), -1, idx_dtype)
+        .at[flat_target]
+        .set(sorted_rows, mode="drop")
+        .reshape(n_shards, capacity)
+    )
+
+    if n_shards > 1:
+        recv = jax.lax.all_to_all(send, axis_name, 0, 0, tiled=True)
+    else:
+        recv = send
+    shard_id = jax.lax.axis_index(axis_name) if n_shards > 1 else 0
+    local = recv - shard_id * rows_per_shard
+    ok = recv >= 0
+    safe = jnp.where(ok, local, 0).astype(jnp.int32)
+    gathered = jnp.take(table_shard, safe.reshape(-1), axis=0)
+    gathered = gathered.reshape(n_shards, capacity, d)
+    gathered = jnp.where(ok[..., None], gathered, jnp.zeros((), gathered.dtype))
+    if n_shards > 1:
+        back = jax.lax.all_to_all(gathered, axis_name, 0, 0, tiled=True)
+    else:
+        back = gathered
+
+    # local scatter back: duplicates share the rank (hence slot) of their
+    # first occurrence, so every sorted position can gather its embedding
+    flat = back.reshape(n_shards * capacity, d)
+    g_idx = jnp.where(in_cap, owner * capacity + pos, 0).astype(jnp.int32)
+    out_sorted = jnp.take(flat, g_idx, axis=0)
+    out_sorted = jnp.where(in_cap[..., None], out_sorted, jnp.zeros((), flat.dtype))
+    inv = jnp.argsort(perm)
+    return jnp.take(out_sorted, inv, axis=0).astype(jnp.float32), overflow
+
+
+def _token_chunk(ids_flat: jnp.ndarray, axis_name: str, n_shards: int):
+    """Split the (replicated-over-model) token stream across the model group.
+
+    Each model-shard device handles 1/n_shards of the tokens — without this,
+    every device in the group would issue the FULL request set and comm would
+    multiply by n_shards instead of dividing by it.
+    Returns (my_chunk, padded_total).
+    """
+    t = ids_flat.shape[0]
+    t_pad = _round_up(t, n_shards)
+    ids_flat = jnp.pad(ids_flat, (0, t_pad - t))
+    chunk = t_pad // n_shards
+    my = jax.lax.axis_index(axis_name)
+    mine = jax.lax.dynamic_slice(ids_flat, (my * chunk,), (chunk,))
+    return mine, t_pad
+
+
+def alltoall_kshift_lookup(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    mesh: Mesh,
+    num_shifts: int,
+    *,
+    axis_name: str = "model",
+    data_axis: str = "data",
+    normalize_output: bool = False,
+    compute_dtype: Optional[jnp.dtype] = None,
+    capacity_factor: float = 2.0,
+) -> jnp.ndarray:
+    """KShift lookup via the unique-ID all-to-all schedule.
+
+    Numerically identical to :func:`sharded_kshift_lookup` (same rotated-hash
+    row indices, same scaling); only the collective schedule differs: tokens
+    are split across the model group, each device resolves its slice through
+    the dedup/all-to-all exchange and sums its k rows locally, and one
+    all_gather replicates the finished (tokens, d) activations.  Per-device
+    comm ~= unique_rows/n · (4 + d·itemsize) + tokens·d·4, vs the psum
+    schedule's 2·tokens·d·4 all-reduce.
+    """
+    num_embeddings = table.shape[0]
+    n_shards = mesh.shape[axis_name]
+    assert num_embeddings % n_shards == 0
+    rows_per_shard = num_embeddings // n_shards
+
+    def local_fn(table_shard, ids_local):
+        shape = ids_local.shape
+        t = int(jnp.size(ids_local))
+        mine, t_pad = _token_chunk(ids_local.reshape(-1), axis_name, n_shards)
+        idx = kshift_row_indices(mine, num_embeddings, num_shifts)  # (chunk, k)
+        capacity = resolve_capacity(int(jnp.size(idx)), n_shards, capacity_factor)
+        rows, _ = _unique_alltoall_gather(
+            table_shard,
+            idx.reshape(-1),
+            axis_name=axis_name,
+            n_shards=n_shards,
+            rows_per_shard=rows_per_shard,
+            capacity=capacity,
+            compute_dtype=compute_dtype,
+        )
+        partial = rows.reshape(*idx.shape, -1).sum(axis=-2)  # (chunk, d) f32
+        if normalize_output:
+            partial = l2_normalize(partial)
+        else:
+            partial = partial / math.sqrt(num_shifts)
+        if n_shards > 1:
+            out = jax.lax.all_gather(partial, axis_name, axis=0, tiled=True)
+        else:
+            out = partial
+        return out[:t].reshape(*shape, -1)
+
+    extra = ids.ndim - 1
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(data_axis, *([None] * extra))),
+        out_specs=P(data_axis, *([None] * extra), None),
+        check_vma=False,
+    )(table, ids)
+
+
+def alltoall_embedding_lookup(
+    table: jnp.ndarray,
+    ids: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    axis_name: str = "model",
+    data_axis: str = "data",
+    compute_dtype: Optional[jnp.dtype] = None,
+    capacity_factor: float = 2.0,
+) -> jnp.ndarray:
+    """Plain row-sharded gather (table[id mod P]) via unique-ID all-to-all."""
+    num_embeddings = table.shape[0]
+    n_shards = mesh.shape[axis_name]
+    assert num_embeddings % n_shards == 0
+    rows_per_shard = num_embeddings // n_shards
+
+    def local_fn(table_shard, ids_local):
+        shape = ids_local.shape
+        t = int(jnp.size(ids_local))
+        mine, t_pad = _token_chunk(ids_local.reshape(-1), axis_name, n_shards)
+        idx = jnp.mod(mine.astype(jnp.int64), num_embeddings)
+        capacity = resolve_capacity(idx.shape[0], n_shards, capacity_factor)
+        rows, _ = _unique_alltoall_gather(
+            table_shard,
+            idx,
+            axis_name=axis_name,
+            n_shards=n_shards,
+            rows_per_shard=rows_per_shard,
+            capacity=capacity,
+            compute_dtype=compute_dtype,
+        )
+        if n_shards > 1:
+            out = jax.lax.all_gather(rows, axis_name, axis=0, tiled=True)
+        else:
+            out = rows
+        return out[:t].reshape(*shape, -1)
+
+    extra = ids.ndim - 1
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(data_axis, *([None] * extra))),
+        out_specs=P(data_axis, *([None] * extra), None),
+        check_vma=False,
+    )(table, ids)
+
+
 class ShardedKShiftEmbedding(nn.Module):
     """Flax KShiftEmbedding over a row-sharded table.
 
@@ -158,6 +398,10 @@ class ShardedKShiftEmbedding(nn.Module):
     data_axis: str = "data"
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: Optional[jnp.dtype] = None
+    # 'alltoall' (unique-ID exchange, the pod-scale schedule) or 'psum'
+    # (owned-row all-reduce; comm independent of row reuse)
+    schedule: str = "alltoall"
+    capacity_factor: float = 2.0
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
@@ -169,6 +413,18 @@ class ShardedKShiftEmbedding(nn.Module):
             (rows, self.features),
             self.param_dtype,
         )
+        if self.schedule == "alltoall":
+            return alltoall_kshift_lookup(
+                table,
+                ids,
+                self.mesh,
+                self.num_shifts,
+                axis_name=self.axis_name,
+                data_axis=self.data_axis,
+                normalize_output=self.normalize_output,
+                compute_dtype=self.compute_dtype,
+                capacity_factor=self.capacity_factor,
+            )
         return sharded_kshift_lookup(
             table,
             ids,

@@ -34,24 +34,46 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state: TrainState, metrics: Optional[dict] = None) -> None:
+    def save(
+        self,
+        step: int,
+        state: TrainState,
+        metrics: Optional[dict] = None,
+        data_iter_state: Optional[dict] = None,
+    ) -> None:
+        """Save the full TrainState plus (optionally) the host data-iterator
+        position (epoch + batches consumed), so a restart resumes mid-epoch
+        instead of silently replaying data (SURVEY §5 checkpoint plan)."""
+        items = {"state": ocp.args.StandardSave(state)}
+        if data_iter_state is not None:
+            items["data_iter"] = ocp.args.JsonSave(dict(data_iter_state))
         self._mgr.save(
             step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardSave(state),
-            ),
+            args=ocp.args.Composite(**items),
             metrics={k: float(v) for k, v in (metrics or {}).items()},
         )
 
-    def restore(self, state_template: TrainState, step: Optional[int] = None) -> Optional[TrainState]:
+    def restore(
+        self, state_template: TrainState, step: Optional[int] = None
+    ) -> Optional[tuple]:
+        """Returns (TrainState, data_iter_state dict) or None if no checkpoint."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
-        restored = self._mgr.restore(
-            step,
-            args=ocp.args.Composite(state=ocp.args.StandardRestore(state_template)),
-        )
-        return restored["state"]
+        items = {"state": ocp.args.StandardRestore(state_template)}
+        has_data_iter = False
+        try:
+            meta = self._mgr.item_metadata(step)
+            has_data_iter = "data_iter" in getattr(meta, "keys", lambda: [])() or (
+                hasattr(meta, "data_iter") and meta.data_iter is not None
+            )
+        except Exception:
+            has_data_iter = False
+        if has_data_iter:
+            items["data_iter"] = ocp.args.JsonRestore()
+        restored = self._mgr.restore(step, args=ocp.args.Composite(**items))
+        data_iter = restored.get("data_iter") if has_data_iter else None
+        return restored["state"], dict(data_iter or {})
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -38,7 +38,7 @@ from recommendations_tpu.config.training_strategy_config import (
     TrainingStrategyConfig,
 )
 from recommendations_tpu.core.mesh import MeshConfig, build_mesh
-from recommendations_tpu.core.partitioning import shard_params
+from recommendations_tpu.core.partitioning import shard_opt_state, shard_params
 from recommendations_tpu.data.loader import device_put_batch, get_host_dataloader
 from recommendations_tpu.data.paths import get_paths_for_worker
 from recommendations_tpu.models.base import BaseModelWrapper
@@ -58,6 +58,25 @@ def _any_host(flag: bool) -> bool:
 
     flags = multihost_utils.process_allgather(jnp.asarray([1.0 if flag else 0.0]))
     return bool(np.asarray(flags).sum() > 0)
+
+
+def _sync_round_flags(exhausted: bool, stop: bool) -> Tuple[bool, bool]:
+    """One allgather per ROUND carrying both cooperative flags.
+
+    Returns (any_exhausted, any_stop).  Every host calls this exactly once
+    per round regardless of which flag it raised, so collective call counts
+    stay aligned even when one host exhausts its shard in the same round
+    another reaches train_steps.
+    """
+    if jax.process_count() == 1:
+        return exhausted, stop
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        jnp.asarray([1.0 if exhausted else 0.0, 1.0 if stop else 0.0])
+    )
+    sums = np.asarray(flags).reshape(-1, 2).sum(axis=0)
+    return bool(sums[0] > 0), bool(sums[1] > 0)
 
 
 def _tree_any_nan(tree) -> jnp.ndarray:
@@ -167,13 +186,16 @@ class PjitTrainingStrategy(TrainingStrategy):
         state = TrainState.create(params, constants, opt_state, wrapper.init_aux_state(), state_rng)
         rules = wrapper.partition_rules()
         params = shard_params(mesh, state.params, rules)
-        # everything else replicated
+        # optimizer moments live with their params (a replicated Adam state
+        # for a row-sharded table would cost 2x the table bytes per device
+        # and defeat the sharding); everything else replicated
+        opt_state = shard_opt_state(mesh, state.opt_state, state.params, rules)
         repl = NamedSharding(mesh, PartitionSpec())
         others = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, repl),
-            (state.constants, state.opt_state, state.aux, state.step, state.rng),
+            (state.constants, state.aux, state.step, state.rng),
         )
-        constants, opt_state, aux, step, rng = others
+        constants, aux, step, rng = others
         return TrainState(
             params=params, constants=constants, opt_state=opt_state,
             aux=aux, step=step, rng=rng,
@@ -225,12 +247,20 @@ class PjitTrainingStrategy(TrainingStrategy):
 
         ckpt_mgr: Optional[CheckpointManager] = None
         ckpt_dir = getattr(pipeline_config, "checkpoint_dir", None)
+        resume_epoch = 0
+        resume_batches = 0
         if train_cfg.checkpoint_every_k_steps and ckpt_dir:
             ckpt_mgr = CheckpointManager(ckpt_dir)
             restored = ckpt_mgr.restore(state)
             if restored is not None:
                 logger.info("resumed from checkpoint step=%s", ckpt_mgr.latest_step())
-                state = restored
+                state, data_iter_state = restored
+                # data-iterator position (SURVEY §5 checkpoint plan): resume
+                # mid-epoch instead of silently replaying it from file 0
+                resume_epoch = int(data_iter_state.get("epoch", 0))
+                resume_batches = int(data_iter_state.get("batches_in_epoch", 0))
+                # global step continues from the checkpoint so train_steps /
+                # checkpoint cadences mean the same thing across restarts
 
         # eval cache (reference init_eval_cache, :277-291)
         eval_cache: List[Dict[str, np.ndarray]] = []
@@ -258,7 +288,7 @@ class PjitTrainingStrategy(TrainingStrategy):
         )
 
         global_num_samples = 0
-        batch_nb = 0
+        batch_nb = int(np.asarray(jax.device_get(state.step)))
         train_start = None
         stop_all = False
         # jax.profiler trace capture (replaces the reference's trace flag +
@@ -267,102 +297,140 @@ class PjitTrainingStrategy(TrainingStrategy):
         profile_start = getattr(self.config, "profile_start_step", 10)
         profile_steps = getattr(self.config, "profile_num_steps", 5)
 
+        # Cooperative stop runs in ROUNDS of `stop_check_every` batches: the
+        # cross-host allgather happens once per round instead of once per
+        # batch (the reference pays a collective per batch, :464-480; a
+        # per-step host round-trip blocks async dispatch).  Until a host
+        # exhausts its shard, every host processes exactly one full round,
+        # so allgather call counts stay aligned across hosts.
+        stop_check_every = max(1, train_cfg.train_metrics_every_n_steps)
+
         for epoch in range(train_cfg.epochs):
             if stop_all:
                 break
             it = iter(make_loader("train", host_train_paths))
-            while True:
-                try:
-                    host_batch = next(it)
-                    if _any_host(False):
+            batches_in_epoch = 0
+            if epoch == resume_epoch and resume_batches > 0:
+                # fast-forward the host iterator to the checkpointed position
+                # (host IO only; device state was restored from the checkpoint)
+                for _ in range(resume_batches):
+                    try:
+                        next(it)
+                    except StopIteration:
+                        break
+                batches_in_epoch = resume_batches
+                logger.info(
+                    "fast-forwarded data iterator to epoch %d batch %d",
+                    epoch, resume_batches,
+                )
+            elif epoch < resume_epoch:
+                continue
+
+            epoch_done = False
+            while not epoch_done and not stop_all:
+                exhausted = False
+                for _ in range(stop_check_every):
+                    try:
+                        host_batch = next(it)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    if train_start is None:
+                        train_start = time.time()
+
+                    batch = device_put_batch(host_batch, mesh)
+                    if profile_dir and batch_nb == profile_start:
+                        jax.profiler.start_trace(profile_dir)
+                    state, loss, metrics = train_step(state, batch)
+                    batch_nb += 1
+                    batches_in_epoch += 1
+                    if profile_dir and batch_nb == profile_start + profile_steps:
+                        jax.block_until_ready(loss)
+                        jax.profiler.stop_trace()
+                        logger.info("profiler trace written to %s", profile_dir)
+                    global_num_samples += train_cfg.batch_size * n_hosts
+                    loss_val: Optional[float] = None
+
+                    if batch_nb % train_cfg.train_metrics_every_n_steps == 0:
+                        host_metrics = {k: float(v) for k, v in metrics.items()}
+                        loss_val = float(loss)
+                        for k, v in host_metrics.items():
+                            metrics_agg[k] = metrics_agg.get(k, 0.0) + v
+                        metrics_agg_n += 1
+                        avg = {k: v / metrics_agg_n for k, v in metrics_agg.items()}
+                        speed = global_num_samples / max(time.time() - train_start, 1e-9)
+                        avg["training speed - samples per second"] = speed
+                        avg["epoch"] = epoch
+                        avg["steps"] = batch_nb
+                        if host_id == 0:
+                            trackers.log_metrics(avg, step=global_num_samples)
+                        logger.info(
+                            "epoch %d step %d loss %.5f %.1f samples/s",
+                            epoch, batch_nb, loss_val, speed,
+                        )
+                        metrics_agg, metrics_agg_n = {}, 0
+                        global_metrics.update(avg)
+
+                        # NaN watchdog (reference :374-398)
+                        if np.isnan(loss_val) or host_metrics.get("params_nan", 0.0) > 0:
+                            if ckpt_mgr:
+                                ckpt_mgr.wait()
+                            raise ValueError(
+                                "Stopping: NaN in loss or parameters at step %d" % batch_nb
+                            )
+                        if batch_nb >= best_after:
+                            best_loss = min(best_loss, loss_val)
+
+                    # periodic val from cache (reference :442-456)
+                    if (
+                        eval_cache
+                        and train_cfg.val_metrics_every_n_steps > 0
+                        and batch_nb % train_cfg.val_metrics_every_n_steps == 0
+                    ):
+                        val_metrics = self._run_val(
+                            val_step, state, eval_cache, mesh, train_cfg, trackers,
+                            step=global_num_samples,
+                        )
+                        if host_id == 0:
+                            trackers.log_metrics(val_metrics, step=global_num_samples)
+                        global_metrics.update(val_metrics)
+
+                    # checkpoint gate (reference :374-398); reuse the loss
+                    # fetched for the metrics window when steps coincide
+                    if (
+                        train_cfg.checkpoint_every_k_steps
+                        and batch_nb % train_cfg.checkpoint_every_k_steps == 0
+                    ):
+                        if loss_val is None:
+                            loss_val = float(loss)
+                        dont = np.isnan(loss_val) or (
+                            best_loss > 0.0 and loss_val > loss_factor * best_loss
+                        )
+                        if not dont:
+                            if ckpt_mgr:
+                                ckpt_mgr.save(
+                                    batch_nb, state, {"loss": loss_val},
+                                    data_iter_state={
+                                        "epoch": epoch,
+                                        "batches_in_epoch": batches_in_epoch,
+                                    },
+                                )
+                            if model_checkpointer is not None and host_id == 0:
+                                model_checkpointer.checkpoint(
+                                    state, result_df=_metrics_df(global_metrics)
+                                )
+                        else:
+                            logger.info(
+                                "skip checkpoint at %d (loss %.4f best %.4f)",
+                                batch_nb, loss_val, best_loss,
+                            )
+
+                    if train_cfg.train_steps and batch_nb >= train_cfg.train_steps:
                         stop_all = True
                         break
-                except StopIteration:
-                    _any_host(True)
-                    break
-                if train_start is None:
-                    train_start = time.time()
-
-                batch = device_put_batch(host_batch, mesh)
-                if profile_dir and batch_nb == profile_start:
-                    jax.profiler.start_trace(profile_dir)
-                state, loss, metrics = train_step(state, batch)
-                batch_nb += 1
-                if profile_dir and batch_nb == profile_start + profile_steps:
-                    jax.block_until_ready(loss)
-                    jax.profiler.stop_trace()
-                    logger.info("profiler trace written to %s", profile_dir)
-                global_num_samples += train_cfg.batch_size * n_hosts
-
-                if batch_nb % train_cfg.train_metrics_every_n_steps == 0:
-                    host_metrics = {k: float(v) for k, v in metrics.items()}
-                    loss_val = float(loss)
-                    for k, v in host_metrics.items():
-                        metrics_agg[k] = metrics_agg.get(k, 0.0) + v
-                    metrics_agg_n += 1
-                    avg = {k: v / metrics_agg_n for k, v in metrics_agg.items()}
-                    speed = global_num_samples / max(time.time() - train_start, 1e-9)
-                    avg["training speed - samples per second"] = speed
-                    avg["epoch"] = epoch
-                    avg["steps"] = batch_nb
-                    if host_id == 0:
-                        trackers.log_metrics(avg, step=global_num_samples)
-                    logger.info(
-                        "epoch %d step %d loss %.5f %.1f samples/s",
-                        epoch, batch_nb, loss_val, speed,
-                    )
-                    metrics_agg, metrics_agg_n = {}, 0
-                    global_metrics.update(avg)
-
-                    # NaN watchdog (reference :374-398)
-                    if np.isnan(loss_val) or host_metrics.get("params_nan", 0.0) > 0:
-                        if ckpt_mgr:
-                            ckpt_mgr.wait()
-                        raise ValueError(
-                            "Stopping: NaN in loss or parameters at step %d" % batch_nb
-                        )
-                    if batch_nb >= best_after:
-                        best_loss = min(best_loss, loss_val)
-
-                # periodic val from cache (reference :442-456)
-                if (
-                    eval_cache
-                    and train_cfg.val_metrics_every_n_steps > 0
-                    and batch_nb % train_cfg.val_metrics_every_n_steps == 0
-                ):
-                    val_metrics = self._run_val(
-                        val_step, state, eval_cache, mesh, train_cfg, trackers,
-                        step=global_num_samples,
-                    )
-                    if host_id == 0:
-                        trackers.log_metrics(val_metrics, step=global_num_samples)
-                    global_metrics.update(val_metrics)
-
-                # checkpoint gate (reference :374-398)
-                if (
-                    train_cfg.checkpoint_every_k_steps
-                    and batch_nb % train_cfg.checkpoint_every_k_steps == 0
-                ):
-                    loss_val = float(loss)
-                    dont = np.isnan(loss_val) or (
-                        best_loss > 0.0 and loss_val > loss_factor * best_loss
-                    )
-                    if not dont:
-                        if ckpt_mgr:
-                            ckpt_mgr.save(batch_nb, state, {"loss": loss_val})
-                        if model_checkpointer is not None and host_id == 0:
-                            model_checkpointer.checkpoint(
-                                state, result_df=_metrics_df(global_metrics)
-                            )
-                    else:
-                        logger.info(
-                            "skip checkpoint at %d (loss %.4f best %.4f)",
-                            batch_nb, loss_val, best_loss,
-                        )
-
-                if train_cfg.train_steps and batch_nb >= train_cfg.train_steps:
-                    stop_all = True
-                    break
+                any_exhausted, any_stop = _sync_round_flags(exhausted, stop_all)
+                stop_all = stop_all or any_stop
+                epoch_done = any_exhausted or stop_all
 
         if ckpt_mgr:
             ckpt_mgr.wait()

@@ -10,6 +10,9 @@ from recommendations_tpu.core.mesh import MeshConfig, build_mesh
 from recommendations_tpu.nn.embeddings import KShiftEmbedding, kshift_row_indices
 from recommendations_tpu.parallel.sharded_embedding import (
     ShardedKShiftEmbedding,
+    alltoall_embedding_lookup,
+    alltoall_kshift_lookup,
+    resolve_capacity,
     sharded_embedding_lookup,
     sharded_kshift_lookup,
 )
@@ -78,10 +81,99 @@ def test_sharded_module_parity_with_dense_module():
     ids = _ids(8)
     dense = KShiftEmbedding(num_embeddings=n_emb, features=d, num_shifts=k)
     dvs = dense.init(jax.random.PRNGKey(0), ids)
-    sharded = ShardedKShiftEmbedding(
-        num_embeddings=n_emb, features=d, num_shifts=k, mesh=mesh
+    for schedule in ("psum", "alltoall"):
+        sharded = ShardedKShiftEmbedding(
+            num_embeddings=n_emb, features=d, num_shifts=k, mesh=mesh,
+            schedule=schedule,
+        )
+        svs = {"params": {"embedding": dvs["params"]["embedding"]}}
+        got = sharded.apply(svs, ids)
+        want = dense.apply(dvs, ids)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
+
+
+# ---------------------------------------------------------------------------
+# unique-ID all-to-all schedule
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("model", [2, 4, 8])
+def test_alltoall_kshift_matches_dense(model):
+    mesh = _mesh(model=model)
+    n_emb, d, k = 1024, 32, 5
+    table = jax.random.normal(jax.random.PRNGKey(0), (n_emb, d), jnp.float32)
+    ids = _ids(16)
+    got = jax.jit(
+        lambda t, i: alltoall_kshift_lookup(t, i, mesh, num_shifts=k)
+    )(
+        jax.device_put(table, NamedSharding(mesh, P("model", None))),
+        jax.device_put(ids, NamedSharding(mesh, P("data", None))),
     )
-    svs = {"params": {"embedding": dvs["params"]["embedding"]}}
-    got = sharded.apply(svs, ids)
-    want = dense.apply(dvs, ids)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+    idx = np.asarray(kshift_row_indices(ids, n_emb, k))
+    want = np.asarray(table)[idx].sum(axis=-2) / np.sqrt(k)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_alltoall_with_heavy_duplicates():
+    """Sessions repeat products: dedup must not change results."""
+    mesh = _mesh(model=4)
+    n_emb, d, k = 512, 16, 4
+    table = jax.random.normal(jax.random.PRNGKey(2), (n_emb, d), jnp.float32)
+    rs = np.random.RandomState(0)
+    # only 5 distinct ids across the whole batch
+    pool = rs.randint(-(2**62), 2**62, size=5, dtype=np.int64)
+    ids = jnp.asarray(pool[rs.randint(0, 5, size=(16, 12))])
+    got = alltoall_kshift_lookup(
+        jax.device_put(table, NamedSharding(mesh, P("model", None))),
+        jax.device_put(ids, NamedSharding(mesh, P("data", None))),
+        mesh, num_shifts=k,
+    )
+    idx = np.asarray(kshift_row_indices(ids, n_emb, k))
+    want = np.asarray(table)[idx].sum(axis=-2) / np.sqrt(k)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_alltoall_plain_lookup_matches_dense():
+    mesh = _mesh(model=4)
+    n_emb = 640
+    table = jax.random.normal(jax.random.PRNGKey(1), (n_emb, 8), jnp.float32)
+    ids = _ids(8)
+    got = alltoall_embedding_lookup(
+        jax.device_put(table, NamedSharding(mesh, P("model", None))),
+        jax.device_put(ids, NamedSharding(mesh, P("data", None))),
+        mesh,
+    )
+    want = np.asarray(table)[np.asarray(ids) % n_emb]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_alltoall_gradient_matches_dense():
+    """d(loss)/d(table) through the all-to-all schedule == dense gather."""
+    mesh = _mesh(model=4)
+    n_emb, d, k = 512, 16, 3
+    table = jax.random.normal(jax.random.PRNGKey(3), (n_emb, d), jnp.float32)
+    ids = _ids(8)
+    target = jax.random.normal(jax.random.PRNGKey(4), (8, 6, d), jnp.float32)
+
+    def loss_a2a(t):
+        out = alltoall_kshift_lookup(t, ids, mesh, num_shifts=k)
+        return jnp.sum((out - target) ** 2)
+
+    def loss_dense(t):
+        idx = kshift_row_indices(ids, n_emb, k)
+        out = jnp.take(t, idx.reshape(-1), axis=0).reshape(*idx.shape, d)
+        return jnp.sum((out.sum(axis=-2) / np.sqrt(k) - target) ** 2)
+
+    sharded_table = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    g_a2a = jax.grad(loss_a2a)(sharded_table)
+    g_dense = jax.grad(loss_dense)(table)
+    np.testing.assert_allclose(
+        np.asarray(g_a2a), np.asarray(g_dense), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_resolve_capacity_lane_aligned():
+    c = resolve_capacity(1000, 8, 2.0)
+    assert c % 128 == 0 and c >= 2 * 1000 / 8
