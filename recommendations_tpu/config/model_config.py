@@ -49,8 +49,11 @@ class ModelConfig(BaseModel, abc.ABC):
 
     @classmethod
     def resolve(cls, kind: str, name: str) -> type:
-        if not model_registry:
-            # model packages self-register on import
+        key = f"{kind}/{name}"
+        if key not in model_registry:
+            # model packages self-register on import (checked per-key: a
+            # partially-populated registry — e.g. only LTHM imported so far —
+            # must still trigger the ranker import)
             import importlib
 
             for pkg in ("recommendations_tpu.models.lthm", "recommendations_tpu.models.ranker"):
@@ -58,7 +61,6 @@ class ModelConfig(BaseModel, abc.ABC):
                     importlib.import_module(pkg)
                 except ImportError:
                     pass
-        key = f"{kind}/{name}"
         if key in model_registry:
             return model_registry[key]
         matches = [v for k, v in model_registry.items() if k.startswith(f"{kind}/")]

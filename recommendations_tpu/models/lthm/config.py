@@ -116,6 +116,11 @@ class TransformerConfig(BaseModel):
     enable_gradient_checkpointing: bool = False
     # Pallas blockwise attention (long-context path); requires pos_bias=None
     use_flash_attention: bool = False
+    # context parallelism: shard the sequence dim over the mesh 'model' axis,
+    # attention runs the ring schedule (parallel/ring_attention) — the
+    # scale-out path for seq ≥ 1024 the reference lacks (SURVEY §5).
+    # Requires is_causal and pos_bias=None; no-op when the axis has 1 device.
+    sequence_parallel: bool = False
     attn_config: SelfAttentionConfig
     dropout: float = 0.0
     num_layers: int = 2

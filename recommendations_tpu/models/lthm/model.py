@@ -89,6 +89,9 @@ class QueryTower(nn.Module):
     """
 
     config: LTHMModelConfig
+    # mesh for sequence-parallel (ring) attention (config.transformer_config
+    # .sequence_parallel); the stack shards activations over mesh['model']
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(
@@ -163,6 +166,8 @@ class QueryTower(nn.Module):
             sparsity_factor=tcfg.sparsity_factor,
             n_cls=1,
             use_flash=tcfg.use_flash_attention,
+            use_ring=tcfg.sequence_parallel,
+            mesh=self.mesh if tcfg.sequence_parallel else None,
             remat=tcfg.enable_gradient_checkpointing,
             dtype=dtype,
             name="transformer",
@@ -273,6 +278,6 @@ class LTHMEncoder(nn.Module):  # noqa: D101  (docstring below)
             jnp.flip(t, axis=1) for t in (inp, target, mask, labels, timestamp, ids)
         )
 
-        return QueryTower(cfg, name="query_tower")(
+        return QueryTower(cfg, mesh=self.mesh, name="query_tower")(
             inp, target, mask, labels, timestamp, ids, deterministic=deterministic
         )

@@ -33,9 +33,13 @@ class LTHMModelWrapper(BaseModelWrapper):
         self.module = LTHMEncoder(model_config)
 
     def bind_mesh(self, mesh) -> None:
-        """Attach the device mesh (needed for row-sharded embedding tables;
-        called by the training strategy before compiling the step)."""
-        if self.config.shard_embedding_rows:
+        """Attach the device mesh (needed for row-sharded embedding tables
+        and sequence-parallel ring attention; called by the training strategy
+        before compiling the step)."""
+        if (
+            self.config.shard_embedding_rows
+            or self.config.transformer_config.sequence_parallel
+        ):
             self.module = LTHMEncoder(self.config, mesh=mesh)
 
     # ----- dtype contract (reference wrapper.py:48-64) -----------------------

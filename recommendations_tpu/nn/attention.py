@@ -120,6 +120,14 @@ class _AttentionBase(nn.Module):
     # Pallas blockwise attention (ops/flash_attention): used when no additive
     # mask / relative position bias is required; O(T) memory for long seqs
     use_flash: bool = False
+    # context-parallel ring attention (parallel/ring_attention): sequence dim
+    # sharded over `ring_axis`, K/V blocks rotate via ppermute over ICI.
+    # Requires causal + no additive mask / position bias; the enclosing stack
+    # shards activations along T so projections/MLP split for free.
+    use_ring: bool = False
+    mesh: Optional[object] = None  # jax.sharding.Mesh when use_ring
+    ring_axis: str = "model"
+    data_axis: str = "data"
     dtype: Optional[jnp.dtype] = None
 
     def _flash_eligible(self, mask, seq_len: int) -> bool:
@@ -131,6 +139,29 @@ class _AttentionBase(nn.Module):
         from recommendations_tpu.ops.fused_attention import fused_flash_recommended
 
         return fused_flash_recommended(seq_len)
+
+    def _ring_eligible(self, mask, causal: bool) -> bool:
+        if not self.use_ring or self.mesh is None:
+            return False
+        if mask is not None or self.pos_bias_window is not None or not causal:
+            return False
+        return self.mesh.shape.get(self.ring_axis, 1) > 1
+
+    def _ring(self, q2, k2, v2, kv_heads: int):
+        """Context-parallel attention on folded-layout q2 (B,T,H*hd),
+        k2/v2 (B,T,kv_heads*hd); returns (B,T,H*hd)."""
+        from recommendations_tpu.parallel.ring_attention import ring_attention_padded
+
+        b, t, _ = q2.shape
+        hd = self.n_embd // self.n_head
+        q = jnp.transpose(q2.reshape(b, t, self.n_head, hd), (0, 2, 1, 3))
+        k = jnp.transpose(k2.reshape(b, t, kv_heads, hd), (0, 2, 1, 3))
+        v = jnp.transpose(v2.reshape(b, t, kv_heads, hd), (0, 2, 1, 3))
+        y = ring_attention_padded(
+            q, k, v, self.mesh,
+            axis_name=self.ring_axis, data_axis=self.data_axis, causal=True,
+        )
+        return jnp.transpose(y, (0, 2, 1, 3)).reshape(b, t, self.n_embd)
 
     def _fused_flash(self, q2, k2, v2, causal):
         """Folded-layout flash attention: q2 (B,T,H*hd), k2/v2 (B,T,hd|H*hd).
@@ -197,7 +228,10 @@ class MultiQueryAttention(_AttentionBase):
         kv = nn.Dense(2 * hd, use_bias=self.use_bias, dtype=self.dtype, name="kv_proj")(x)
         k, v = jnp.split(kv, 2, axis=-1)
 
-        if self._flash_eligible(mask, t):
+        if self._ring_eligible(mask, causal):
+            q2, k2, v2 = self._apply_folded_dropout(q, k, v, deterministic)
+            y = self._ring(q2, k2, v2, kv_heads=1)
+        elif self._flash_eligible(mask, t):
             q2, k2, v2 = self._apply_folded_dropout(q, k, v, deterministic)
             y = self._fused_flash(q2, k2, v2, causal)
         else:
@@ -229,7 +263,10 @@ class MultiHeadAttention(_AttentionBase):
         qkv = nn.Dense(3 * self.n_embd, use_bias=self.use_bias, dtype=self.dtype, name="c_attn")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        if self._flash_eligible(mask, t):
+        if self._ring_eligible(mask, causal):
+            q2, k2, v2 = self._apply_folded_dropout(q, k, v, deterministic)
+            y = self._ring(q2, k2, v2, kv_heads=self.n_head)
+        elif self._flash_eligible(mask, t):
             q2, k2, v2 = self._apply_folded_dropout(q, k, v, deterministic)
             y = self._fused_flash(q2, k2, v2, causal)
         else:

@@ -146,6 +146,11 @@ class TransformerBlock(nn.Module):
     sparse_seed: int = 0
     n_cls: int = 0
     use_flash: bool = False
+    # context-parallel ring attention: seq dim sharded over mesh[ring_axis]
+    use_ring: bool = False
+    mesh: Optional[object] = None
+    ring_axis: str = "model"
+    data_axis: str = "data"
     dtype: Optional[jnp.dtype] = None
 
     def _attn(self):
@@ -158,6 +163,10 @@ class TransformerBlock(nn.Module):
             use_bias=self.use_bias,
             pos_bias_window=self.pos_bias_window,
             use_flash=self.use_flash,
+            use_ring=self.use_ring,
+            mesh=self.mesh,
+            ring_axis=self.ring_axis,
+            data_axis=self.data_axis,
             dtype=self.dtype,
             name="attn",
         )
@@ -218,9 +227,16 @@ class TransformerBlock(nn.Module):
             if attn_mask is not None:
                 attn_mask = attn_mask[:, :, idx, :][:, :, :, idx]
 
-        # flash path handles causality inside the kernel; the XLA path gets
-        # the additive mask
-        flash_ok = (
+        # flash/ring paths handle causality inside the kernel; the XLA path
+        # gets the additive mask
+        ring_ok = (
+            self.use_ring
+            and self.mesh is not None
+            and attn_mask is None
+            and self.pos_bias_window is None
+            and self.mesh.shape.get(self.ring_axis, 1) > 1
+        )
+        flash_ok = ring_ok or (
             self.use_flash
             and attn_mask is None
             and self.pos_bias_window is None
@@ -268,6 +284,13 @@ class TransformerStack(nn.Module):
     sparsity_factor: float = 0.5
     n_cls: int = 0
     use_flash: bool = False
+    # context parallelism: shard the sequence dim over mesh[ring_axis]; every
+    # positionwise op (LN/Dense/MLP) splits for free via the sharding
+    # constraint below, attention runs the ring schedule
+    use_ring: bool = False
+    mesh: Optional[object] = None
+    ring_axis: str = "model"
+    data_axis: str = "data"
     remat: bool = False
     # 'full' recomputes everything; 'dots' saves matmul outputs and only
     # recomputes elementwise ops in backward (≈25% fewer step FLOPs for
@@ -282,6 +305,27 @@ class TransformerStack(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        ring_on = (
+            self.use_ring
+            and self.mesh is not None
+            and self.mesh.shape.get(self.ring_axis, 1) > 1
+        )
+        t_orig = x.shape[1]
+        if ring_on:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            assert attn_mask is None, "sequence_parallel requires attn_mask=None"
+            assert self.is_causal, "sequence_parallel requires is_causal"
+            # pad T to a ring multiple so the constraint (and every block's
+            # ring) sees even shards; pad sits at the END, so under causal
+            # masking no real row reads it — sliced off at exit
+            n_ring = self.mesh.shape[self.ring_axis]
+            t_pad = ((t_orig + n_ring - 1) // n_ring) * n_ring
+            if t_pad != t_orig:
+                x = jnp.pad(x, ((0, 0), (0, t_pad - t_orig), (0, 0)))
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, P(self.data_axis, self.ring_axis, None))
+            )
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         block_cls = TransformerBlock
         if self.remat:
@@ -308,8 +352,14 @@ class TransformerStack(nn.Module):
                 sparse_seed=depth,
                 n_cls=self.n_cls,
                 use_flash=self.use_flash,
+                use_ring=ring_on,
+                mesh=self.mesh if ring_on else None,
+                ring_axis=self.ring_axis,
+                data_axis=self.data_axis,
                 dtype=self.dtype,
                 name=f"block_{depth}",
             )
             x = block(x, attn_mask, deterministic)
+        if ring_on and x.shape[1] != t_orig:
+            x = x[:, :t_orig]
         return x

@@ -72,12 +72,18 @@ def _mm(a, b, dims):
 # crash this Mosaic build (compiler blow-up, no diagnostic)
 KV_CHUNK = 512
 
-# Above this sequence length the chunked multi-tile path is correct but
-# measured slower than XLA on v5e (program-launch overhead + fori chunk
-# loops: seq-1024 LTHM step 175ms fused vs 138ms XLA), so the attention
-# modules auto-fall-back. Below it the single-tile path wins decisively
-# (seq-256 step 70 -> 62ms).
-RECOMMENDED_MAX_SEQ = 512
+# Sequences above KV_CHUNK run the 3D-grid path: the KV axis is a grid
+# dimension (Mosaic double-buffers the K/V chunk DMAs across steps) with
+# online-softmax state carried in VMEM scratch between revisits — replacing
+# the round-1 fori-chunk loop that lost to XLA at 1024 (175ms vs 138ms).
+# Causal masking clamps the K/V block index map so fully-masked chunks
+# re-reference the resident block (no DMA) and skip compute.
+# Measured fwd+bwd vs XLA at LTHM shape (B=16, 32 heads x hd=16, MQA,
+# v5e via tunnel, tools_bench_attention.py): seq 512 3.55 vs 4.28 ms,
+# seq 1024 9.16 vs 14.17 ms, seq 2048 27.45 vs 69.21 ms — fused wins at
+# every measured length; the cap below is a VMEM-residency bound for the
+# per-(b,tile) scratch, not a perf crossover.
+RECOMMENDED_MAX_SEQ = 4096
 
 
 def fused_flash_recommended(seq_len: int) -> bool:
@@ -327,6 +333,156 @@ def _bwd_fused_kernel(
         dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
 
+# ---------------------------------------------------------------------------
+# 3D-grid kernels (t_pad > KV_CHUNK): grid = (batch, q/k tiles, kv/q chunks)
+# with the chunk axis innermost-sequential; per-(b, tile) softmax state lives
+# in VMEM scratch across chunk revisits and outputs flush on the last chunk.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_grid(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, n_head, hd, kvh, tile_q, kc_size, n_chunks, seq_len, causal,
+):
+    i = pl.program_id(1)
+    c = pl.program_id(2)
+    scale = jnp.float32(1.0 / math.sqrt(hd))
+    row0 = i * jnp.int32(tile_q)
+    c0 = c * jnp.int32(kc_size)
+
+    @pl.when(c == 0)
+    def _():
+        m_scr[...] = jnp.full(m_scr.shape, jnp.float32(NEG_INF))
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    # (clamped index maps mean a masked-out chunk's refs alias the last
+    # needed chunk — compute is skipped so the data is never read)
+    live = (c0 < row0 + jnp.int32(tile_q)) if causal else (c >= 0)
+
+    @pl.when(live)
+    def _():
+        for h in range(n_head):
+            sl = slice(h * hd, (h + 1) * hd)
+            ksl = slice(0, hd) if kvh == 1 else sl
+            qh = q_ref[0][:, sl]
+            kc = k_ref[0][:, ksl]
+            vc = v_ref[0][:, ksl]
+            s = _mm(qh, kc, ((1,), (1,))) * scale
+            mask = _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
+            s = jnp.where(mask, s, jnp.float32(NEG_INF))
+            m_prev = m_scr[:, h : h + 1]
+            l_prev = l_scr[:, h : h + 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m_prev - m_new)
+            m_scr[:, h : h + 1] = m_new
+            l_scr[:, h : h + 1] = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc_scr[:, sl] = acc_scr[:, sl] * corr + _mm(
+                p.astype(vc.dtype), vc, ((1,), (0,))
+            )
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        for h in range(n_head):
+            sl = slice(h * hd, (h + 1) * hd)
+            l_h = jnp.maximum(l_scr[:, h : h + 1], jnp.float32(1e-30))
+            o_ref[0, :, sl] = (acc_scr[:, sl] / l_h).astype(o_ref.dtype)
+            lse_ref[0, :, h : h + 1] = m_scr[:, h : h + 1] + jnp.log(l_h)
+        pad0 = n_head
+        if lse_ref.shape[2] > pad0:
+            lse_ref[0, :, pad0:] = jnp.zeros(
+                (lse_ref.shape[1], lse_ref.shape[2] - pad0), jnp.float32
+            )
+
+
+def _dq_kernel_grid(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dcol_ref, dq_ref, dq_scr,
+    *, n_head, hd, kvh, tile_q, kc_size, n_chunks, seq_len, causal,
+):
+    i = pl.program_id(1)
+    c = pl.program_id(2)
+    scale = jnp.float32(1.0 / math.sqrt(hd))
+    row0 = i * jnp.int32(tile_q)
+    c0 = c * jnp.int32(kc_size)
+
+    @pl.when(c == 0)
+    def _():
+        dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
+
+    live = (c0 < row0 + jnp.int32(tile_q)) if causal else (c >= 0)
+
+    @pl.when(live)
+    def _():
+        for h in range(n_head):
+            sl = slice(h * hd, (h + 1) * hd)
+            ksl = slice(0, hd) if kvh == 1 else sl
+            qh = q_ref[0][:, sl]
+            kc = k_ref[0][:, ksl]
+            vc = v_ref[0][:, ksl]
+            s = _mm(qh, kc, ((1,), (1,))) * scale
+            mask = _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
+            p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, h : h + 1]), jnp.float32(0.0))
+            dp = _mm(do_ref[0][:, sl], vc, ((1,), (1,)))
+            ds = p * (dp - dcol_ref[0][:, h : h + 1])
+            dq_scr[:, sl] = dq_scr[:, sl] + _mm(ds.astype(kc.dtype), kc, ((1,), (0,)))
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        dq_ref[0] = (dq_scr[...] * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel_grid(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dcol_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, n_head, hd, kvh, tile_k, qc_size, n_chunks, seq_len, causal,
+):
+    i = pl.program_id(1)
+    c = pl.program_id(2)
+    scale = jnp.float32(1.0 / math.sqrt(hd))
+    col0 = i * jnp.int32(tile_k)
+    r0 = c * jnp.int32(qc_size)
+
+    @pl.when(c == 0)
+    def _():
+        dk_scr[...] = jnp.zeros(dk_scr.shape, jnp.float32)
+        dv_scr[...] = jnp.zeros(dv_scr.shape, jnp.float32)
+
+    # causal: query chunk is live iff its last row can attend to this key tile
+    live = (r0 + jnp.int32(qc_size) > col0) if causal else (c >= 0)
+
+    @pl.when(live)
+    def _():
+        for h in range(n_head):
+            sl = slice(h * hd, (h + 1) * hd)
+            ksl = slice(0, hd) if kvh == 1 else sl
+            kf = k_ref[0][:, ksl]
+            vf = v_ref[0][:, ksl]
+            qh = q_ref[0][:, sl]
+            doh = do_ref[0][:, sl]
+            s = _mm(qh, kf, ((1,), (1,))) * scale  # (qc, tile_k)
+            mask = _chunk_mask(qc_size, tile_k, r0, col0, seq_len, causal)
+            p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, h : h + 1]), jnp.float32(0.0))
+            dv_h = _mm(p.astype(doh.dtype), doh, ((0,), (0,)))
+            dp = _mm(doh, vf, ((1,), (1,)))
+            ds = p * (dp - dcol_ref[0][:, h : h + 1])
+            dk_h = _mm(ds.astype(qh.dtype), qh, ((0,), (0,)))
+            osl = ksl if kvh == 1 else sl
+            dk_scr[:, osl] = dk_scr[:, osl] + dk_h
+            dv_scr[:, osl] = dv_scr[:, osl] + dv_h
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        dk_ref[0] = (dk_scr[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _grid_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary")
+    )
+
+
 def _resolve_tile(t: int, tile: Optional[int]) -> int:
     """Pick the q/k tile size.
 
@@ -374,12 +530,81 @@ def _block_full(c, t_pad):
     )
 
 
+def _tile_block3(c, tile):
+    """Block indexed by the TILE grid dim (constant across chunk revisits)."""
+    return pl.BlockSpec(
+        (1, tile, c),
+        lambda b, i, ch: (b, i, jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _chunk_block3(c, chunk, tile, kc_size, causal, kind):
+    """Block indexed by the CHUNK grid dim, clamped under causal masking so
+    fully-masked chunks alias the resident block (no DMA, compute skipped)."""
+    if not causal:
+        index = lambda b, i, ch: (b, ch, jnp.int32(0))
+    elif kind == "kv":
+        # last needed KV chunk for q tile i: rows end at i*tile + tile - 1
+        index = lambda b, i, ch: (
+            b,
+            jnp.minimum(ch, (i * jnp.int32(tile) + jnp.int32(tile - 1)) // jnp.int32(kc_size)),
+            jnp.int32(0),
+        )
+    else:  # 'q': first needed q chunk for key tile i starts at i*tile
+        index = lambda b, i, ch: (
+            b,
+            jnp.maximum(ch, (i * jnp.int32(tile)) // jnp.int32(kc_size)),
+            jnp.int32(0),
+        )
+    return pl.BlockSpec((1, chunk, c), index, memory_space=pltpu.VMEM)
+
+
 def _fused_fwd_impl(q, k, v, n_head, causal, tile, interpret):
     b, t, qc = q.shape
     out_dtype = q.dtype
     tile = _resolve_tile(t, tile)
     q, k, v, hd, kvh, t_pad, qc_pad, kc_pad = _pad_args(q, k, v, n_head, tile)
     lse_lanes = _ceil_to(n_head, _LANE)
+    cost = pl.CostEstimate(
+        flops=4 * n_head * t * t * hd // (2 if causal else 1),
+        bytes_accessed=q.size * q.dtype.itemsize * 2
+        + 2 * k.size * k.dtype.itemsize,
+        transcendentals=n_head * t * t,
+    )
+
+    if t_pad > KV_CHUNK:
+        # 3D grid: kv chunks innermost-sequential, softmax state in scratch
+        kc_size = KV_CHUNK
+        n_chunks = t_pad // kc_size
+        kernel = functools.partial(
+            _fwd_kernel_grid, n_head=n_head, hd=hd, kvh=kvh, tile_q=tile,
+            kc_size=kc_size, n_chunks=n_chunks, seq_len=t, causal=causal,
+        )
+        o_pad, lse = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t_pad, qc_pad), out_dtype),
+                jax.ShapeDtypeStruct((b, t_pad, lse_lanes), jnp.float32),
+            ),
+            grid=(b, t_pad // tile, n_chunks),
+            in_specs=[
+                _tile_block3(qc_pad, tile),
+                _chunk_block3(kc_pad, kc_size, tile, kc_size, causal, "kv"),
+                _chunk_block3(kc_pad, kc_size, tile, kc_size, causal, "kv"),
+            ],
+            out_specs=(_tile_block3(qc_pad, tile), _tile_block3(lse_lanes, tile)),
+            scratch_shapes=[
+                pltpu.VMEM((tile, lse_lanes), jnp.float32),
+                pltpu.VMEM((tile, lse_lanes), jnp.float32),
+                pltpu.VMEM((tile, qc_pad), jnp.float32),
+            ],
+            compiler_params=_grid_params(),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v)
+        return o_pad, lse, (q, k, v, hd, kvh, t_pad, qc_pad, kc_pad)
+
     grid = (b, t_pad // tile)
     kernel = functools.partial(
         _fwd_kernel, n_head=n_head, hd=hd, kvh=kvh, tile_q=tile,
@@ -398,12 +623,7 @@ def _fused_fwd_impl(q, k, v, n_head, causal, tile, interpret):
             _block_full(kc_pad, t_pad),
         ],
         out_specs=(_block2(qc_pad, tile), _block2(lse_lanes, tile)),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * n_head * t * t * hd // (2 if causal else 1),
-            bytes_accessed=q.size * q.dtype.itemsize * 2
-            + 2 * k.size * k.dtype.itemsize,
-            transcendentals=n_head * t * t,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(q, k, v)
     return o_pad, lse, (q, k, v, hd, kvh, t_pad, qc_pad, kc_pad)
@@ -491,6 +711,66 @@ def _fused_vjp_bwd(n_head, causal, tile, interpret, res, g):
                 _block_full(kc_pad, t_pad),
                 _block_full(kc_pad, t_pad),
             ),
+            interpret=interpret_,
+        )(qp, kp, vp, g_pad, lse, dcol)
+        return (
+            dq_pad[:, :t, :qc],
+            dk_pad[:, :t, :kc],
+            dv_pad[:, :t, :kc],
+        )
+
+    if t_pad > KV_CHUNK:
+        # 3D-grid backward: chunk axis innermost, accumulators in scratch
+        kc_size = KV_CHUNK
+        n_chunks = t_pad // kc_size
+        dq_kernel = functools.partial(
+            _dq_kernel_grid, n_head=n_head, hd=hd, kvh=kvh, tile_q=tile,
+            kc_size=kc_size, n_chunks=n_chunks, seq_len=t, causal=causal,
+        )
+        dq_pad = pl.pallas_call(
+            dq_kernel,
+            out_shape=jax.ShapeDtypeStruct((b, t_pad, qc_pad), qp.dtype),
+            grid=(b, t_pad // tile, n_chunks),
+            in_specs=[
+                _tile_block3(qc_pad, tile),
+                _chunk_block3(kc_pad, kc_size, tile, kc_size, causal, "kv"),
+                _chunk_block3(kc_pad, kc_size, tile, kc_size, causal, "kv"),
+                _tile_block3(qc_pad, tile),
+                _tile_block3(lse_lanes, tile),
+                _tile_block3(lse_lanes, tile),
+            ],
+            out_specs=_tile_block3(qc_pad, tile),
+            scratch_shapes=[pltpu.VMEM((tile, qc_pad), jnp.float32)],
+            compiler_params=_grid_params(),
+            interpret=interpret_,
+        )(qp, kp, vp, g_pad, lse, dcol)
+
+        qchunks = t_pad // kc_size
+        dkv_kernel = functools.partial(
+            _dkv_kernel_grid, n_head=n_head, hd=hd, kvh=kvh, tile_k=tile,
+            qc_size=kc_size, n_chunks=qchunks, seq_len=t, causal=causal,
+        )
+        dk_pad, dv_pad = pl.pallas_call(
+            dkv_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t_pad, kc_pad), kp.dtype),
+                jax.ShapeDtypeStruct((b, t_pad, kc_pad), vp.dtype),
+            ),
+            grid=(b, t_pad // tile, qchunks),
+            in_specs=[
+                _chunk_block3(qc_pad, kc_size, tile, kc_size, causal, "q"),
+                _tile_block3(kc_pad, tile),
+                _tile_block3(kc_pad, tile),
+                _chunk_block3(qc_pad, kc_size, tile, kc_size, causal, "q"),
+                _chunk_block3(lse_lanes, kc_size, tile, kc_size, causal, "q"),
+                _chunk_block3(lse_lanes, kc_size, tile, kc_size, causal, "q"),
+            ],
+            out_specs=(_tile_block3(kc_pad, tile), _tile_block3(kc_pad, tile)),
+            scratch_shapes=[
+                pltpu.VMEM((tile, kc_pad), jnp.float32),
+                pltpu.VMEM((tile, kc_pad), jnp.float32),
+            ],
+            compiler_params=_grid_params(),
             interpret=interpret_,
         )(qp, kp, vp, g_pad, lse, dcol)
         return (

@@ -9,14 +9,23 @@ attention with the numerically-stable online-softmax recurrence.  Peak
 memory per device is O(T/n · T/n) logits and communication per layer is the
 K/V block size × (n-1) hops riding ICI neighbor links.
 
+Backward (custom VJP, memory-sane): the forward saves only (q, k, v, out,
+logsumexp) local blocks — O(T/n) — and the backward re-runs the ring,
+recomputing each hop's probabilities from the saved logsumexp while the
+dK/dV accumulators travel WITH their K/V blocks around the ring (one extra
+hop at the end returns them to their owners).  Per-hop memory stays
+O(T/n · T/n); nothing is materialized across hops (round-1's version
+autodiffed through the python hop loop, stacking n hops of K/V residuals).
+
 jnp-level implementation (no Pallas): composes with shard_map + jit on any
 backend, including restricted runtimes without gridded-pallas support.
 """
 
 from __future__ import annotations
 
+import functools
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,33 +34,131 @@ from jax.sharding import Mesh, PartitionSpec as P
 _NEG = jnp.float32(-1e30)
 
 
-def _block_attn(q, k, v, q_pos, k_pos, causal):
-    """One Q-block × K-block partial attention (f32).
+def _scores(q, k, q_pos, k_pos, causal):
+    """(b,h,q,k) logits in f32 with causal/global-position masking.
 
-    Returns (m, l, o): rowwise max, sum-exp, and weighted values for the
-    online-softmax merge.
+    ``k`` may have 1 KV head (MQA) — broadcast in the einsum, never
+    materialized.
     """
     d = q.shape[-1]
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if k.shape[1] == 1 and q.shape[1] != 1:
+        s = jnp.einsum("bhqd,bkd->bhqk", q, k[:, 0], preferred_element_type=jnp.float32)
+    else:
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     s = s / jnp.float32(math.sqrt(d))
     if causal:
         mask = k_pos[None, None, None, :] <= q_pos[None, None, :, None]
         s = jnp.where(mask, s, _NEG)
-    m = jnp.max(s, axis=-1)  # (b,h,q)
-    p = jnp.exp(s - m[..., None])
-    l = jnp.sum(p, axis=-1)
-    o = jnp.einsum("bhqk,bhkd->bhqd", p, v, preferred_element_type=jnp.float32)
-    return m, l, o
+    return s
 
 
-def _merge(m1, l1, o1, m2, l2, o2):
-    """Merge two online-softmax partials."""
-    m = jnp.maximum(m1, m2)
-    a1 = jnp.exp(m1 - m)
-    a2 = jnp.exp(m2 - m)
-    l = a1 * l1 + a2 * l2
-    o = a1[..., None] * o1 + a2[..., None] * o2
-    return m, l, o
+def _pv(p, v):
+    if v.shape[1] == 1 and p.shape[1] != 1:
+        return jnp.einsum("bhqk,bkd->bhqd", p, v[:, 0], preferred_element_type=jnp.float32)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v, preferred_element_type=jnp.float32)
+
+
+def _ring_fwd_loop(q, k, v, axis_name: str, n: int, causal: bool):
+    """Online-softmax ring forward on LOCAL blocks.  Returns (out, lse)."""
+    my = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    t_local = q.shape[2]
+    base = jnp.arange(t_local, dtype=jnp.int32)
+    q_pos = my * t_local + base
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    q32 = q.astype(jnp.float32)
+    kv = (k.astype(jnp.float32), v.astype(jnp.float32))
+    m = l = o = None
+    for s in range(n):
+        src = jnp.mod(my - s, n)
+        k_pos = src * t_local + base
+        z = _scores(q32, kv[0], q_pos, k_pos, causal)
+        ms = jnp.max(z, axis=-1)
+        ps = jnp.exp(z - ms[..., None])
+        ls = jnp.sum(ps, axis=-1)
+        os_ = _pv(ps, kv[1])
+        if m is None:
+            m, l, o = ms, ls, os_
+        else:
+            m_new = jnp.maximum(m, ms)
+            a1 = jnp.exp(m - m_new)
+            a2 = jnp.exp(ms - m_new)
+            l = a1 * l + a2 * ls
+            o = a1[..., None] * o + a2[..., None] * os_
+            m = m_new
+        if s != n - 1:
+            kv = (
+                jax.lax.ppermute(kv[0], axis_name, perm),
+                jax.lax.ppermute(kv[1], axis_name, perm),
+            )
+    l_safe = jnp.maximum(l, jnp.float32(1e-30))
+    out = o / l_safe[..., None]
+    lse = m + jnp.log(l_safe)  # (b, h, t_local)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _ring_attn_local(q, k, v, axis_name: str, n: int, causal: bool):
+    out, _ = _ring_fwd_loop(q, k, v, axis_name, n, causal)
+    return out.astype(q.dtype)
+
+
+def _ring_vjp_fwd(q, k, v, axis_name, n, causal):
+    out, lse = _ring_fwd_loop(q, k, v, axis_name, n, causal)
+    return out.astype(q.dtype), (q, k, v, out, lse)
+
+
+def _ring_vjp_bwd(axis_name, n, causal, res, g):
+    q, k, v, out, lse = res
+    d = q.shape[-1]
+    scale = jnp.float32(1.0 / math.sqrt(d))
+    my = jax.lax.axis_index(axis_name).astype(jnp.int32)
+    t_local = q.shape[2]
+    base = jnp.arange(t_local, dtype=jnp.int32)
+    q_pos = my * t_local + base
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    kvh = k.shape[1]
+
+    q32 = q.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+    delta = jnp.sum(g32 * out, axis=-1)  # (b,h,q)
+
+    dq = jnp.zeros_like(q32)
+    state = (
+        k.astype(jnp.float32),
+        v.astype(jnp.float32),
+        jnp.zeros(k.shape, jnp.float32),
+        jnp.zeros(v.shape, jnp.float32),
+    )
+    for s in range(n):
+        k_s, v_s, dk_s, dv_s = state
+        src = jnp.mod(my - s, n)
+        k_pos = src * t_local + base
+        z = _scores(q32, k_s, q_pos, k_pos, causal)
+        p = jnp.exp(z - lse[..., None])  # masked entries: exp(-inf) = 0
+        # dp_ij = g_i . v_j  → same contraction pattern as scores
+        if v_s.shape[1] == 1 and q32.shape[1] != 1:
+            dp = jnp.einsum("bhqd,bkd->bhqk", g32, v_s[:, 0], preferred_element_type=jnp.float32)
+        else:
+            dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v_s, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[..., None])  # (b,h,q,k)
+        if kvh == 1:
+            dq = dq + jnp.einsum("bhqk,bkd->bhqd", ds, k_s[:, 0], preferred_element_type=jnp.float32) * scale
+            dk_s = dk_s + jnp.einsum("bhqk,bhqd->bkd", ds, q32, preferred_element_type=jnp.float32)[:, None] * scale
+            dv_s = dv_s + jnp.einsum("bhqk,bhqd->bkd", p, g32, preferred_element_type=jnp.float32)[:, None]
+        else:
+            dq = dq + jnp.einsum("bhqk,bhkd->bhqd", ds, k_s, preferred_element_type=jnp.float32) * scale
+            dk_s = dk_s + jnp.einsum("bhqk,bhqd->bhkd", ds, q32, preferred_element_type=jnp.float32) * scale
+            dv_s = dv_s + jnp.einsum("bhqk,bhqd->bhkd", p, g32, preferred_element_type=jnp.float32)
+        state = (k_s, v_s, dk_s, dv_s)
+        # rotate every hop; the final rotation returns accumulators to the
+        # block's owner (block o sits at device o-1 after hop n-1)
+        state = tuple(jax.lax.ppermute(x, axis_name, perm) for x in state)
+    _, _, dk, dv = state
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_ring_attn_local.defvjp(_ring_vjp_fwd, _ring_vjp_bwd)
 
 
 def ring_attention(
@@ -66,41 +173,17 @@ def ring_attention(
 ) -> jnp.ndarray:
     """Context-parallel attention.
 
-    q/k/v: (B, H, T, D) global, with T sharded over ``axis_name`` and B over
-    ``data_axis``.  KV heads must equal Q heads (broadcast MQA upstream).
-    Returns (B, H, T, D) with the same sharding.
+    q: (B, H, T, D) global, with T sharded over ``axis_name`` and B over
+    ``data_axis``; k/v: (B, Hk, T, D) with Hk ∈ {1, H} (MQA broadcast inside
+    — never materialized).  Returns (B, H, T, D) with q's sharding.
+    Differentiable with O(T/n) residuals (see module docstring).
     """
     n = mesh.shape[axis_name]
     t_global = q.shape[2]
     assert t_global % n == 0, f"seq {t_global} not divisible by ring size {n}"
-    t_local = t_global // n
 
     def local_fn(q_blk, k_blk, v_blk):
-        my = jax.lax.axis_index(axis_name)
-        q32 = q_blk.astype(jnp.float32)
-        base = jnp.arange(t_local, dtype=jnp.int32)
-        q_pos = my.astype(jnp.int32) * t_local + base
-
-        perm = [(i, (i + 1) % n) for i in range(n)]
-
-        m = l = o = None
-        kv = (k_blk.astype(jnp.float32), v_blk.astype(jnp.float32))
-        # the block arriving at hop s originated at ring position (my - s)
-        for s in range(n):
-            src = jnp.mod(my.astype(jnp.int32) - s, n)
-            k_pos = src * t_local + base
-            ms, ls, os_ = _block_attn(q32, kv[0], kv[1], q_pos, k_pos, causal)
-            if m is None:
-                m, l, o = ms, ls, os_
-            else:
-                m, l, o = _merge(m, l, o, ms, ls, os_)
-            if s != n - 1:
-                kv = (
-                    jax.lax.ppermute(kv[0], axis_name, perm),
-                    jax.lax.ppermute(kv[1], axis_name, perm),
-                )
-        out = o / jnp.maximum(l, jnp.float32(1e-30))[..., None]
-        return out.astype(q_blk.dtype)
+        return _ring_attn_local(q_blk, k_blk, v_blk, axis_name, n, causal)
 
     spec = P(data_axis, None, axis_name, None)
     return jax.shard_map(
@@ -110,3 +193,33 @@ def ring_attention(
         out_specs=spec,
         check_vma=False,
     )(q, k, v)
+
+
+def ring_attention_padded(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    axis_name: str = "model",
+    data_axis: str = "data",
+    causal: bool = True,
+) -> jnp.ndarray:
+    """Ring attention for sequence lengths not divisible by the ring size.
+
+    Pads T up to a multiple of the ring (pad tokens sit at the END of the
+    sequence: under causal masking no real query can attend them) and slices
+    the output back.  Requires ``causal=True`` — without causality pad keys
+    would leak into real rows.
+    """
+    assert causal, "padded ring attention requires causal masking"
+    n = mesh.shape[axis_name]
+    t = q.shape[2]
+    t_pad = ((t + n - 1) // n) * n
+    if t_pad != t:
+        pad = [(0, 0), (0, 0), (0, t_pad - t), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    out = ring_attention(
+        q, k, v, mesh, axis_name=axis_name, data_axis=data_axis, causal=causal
+    )
+    return out[:, :, :t, :]

@@ -133,6 +133,35 @@ def test_fused_long_seq_chunked_path():
         )
 
 
+@pytest.mark.parametrize("causal", [True, False])
+@pytest.mark.parametrize("kvh", [1, 2])
+def test_fused_grid_path_seq1100(causal, kvh):
+    """Default tiling at T>1024: the 3D-grid kernels (kv chunks as an
+    innermost grid axis with scratch-carried softmax state) — forward and
+    custom-VJP backward vs the dense oracle, including row padding."""
+    b, t, n_head, hd = 1, 1100, 2, 16
+    q, k, v = _make(b, t, n_head, hd, kvh, seed=31)
+    cot = jax.random.normal(jax.random.PRNGKey(32), q.shape, jnp.float32)
+
+    got_o = fused_flash_attention(q, k, v, n_head, causal, None, True)
+    want_o = _dense_folded(q, k, v, n_head, causal)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o), rtol=2e-4, atol=2e-4)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_flash_attention(q, k, v, n_head, causal, None, True) * cot)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense_folded(q, k, v, n_head, causal) * cot)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
 def test_fused_grad_of_mean_pooled_output():
     """End-to-end shaped like the LTHM usage: grad flows through a reduction."""
     b, t, n_head, hd = 2, 40, 2, 8
