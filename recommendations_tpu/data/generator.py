@@ -84,7 +84,7 @@ class SimpleDatasetGenerator:
         store = DataStoreAccessor.get_instance(self.fs_config)
         pool = self.__init_reader_pool() if self.max_readers > 1 else None
         try:
-            for chunk in self.filtered_path_chunks:
+            for chunk_idx, chunk in enumerate(self.filtered_path_chunks):
                 if pool is not None:
                     dfs = [d for d in pool.map(
                         lambda p: self._read_one(store, mapper, p), chunk
@@ -97,7 +97,11 @@ class SimpleDatasetGenerator:
                 if dfs:
                     df = pd.concat(dfs, axis=0)
                     if self.shuffle_data:
-                        yield df.sample(frac=1.0, random_state=self._seed)
+                        # per-chunk seed: a fixed random_state would shuffle
+                        # every chunk with the IDENTICAL permutation pattern
+                        # (deterministic across runs via base seed + index)
+                        rs = None if self._seed is None else self._seed + chunk_idx
+                        yield df.sample(frac=1.0, random_state=rs)
                     else:
                         yield df
         finally:

@@ -98,7 +98,20 @@ def make_features_compliant(
 
 
 class GroupedBatchDataset:
-    """df stream → (grouped rows) → fixed-shape feature batches."""
+    """df stream → (grouped rows) → fixed-shape feature batches.
+
+    ``shuffle_buffer_batches`` (DataLoaderConfig.shuffle_buffer_num_mini_batches)
+    holds that many batches' worth of examples in a window and shuffles the
+    window before emitting — mixing rows across parquet files/chunks, which
+    per-chunk ``shuffle_data`` alone cannot do.  Without session grouping the
+    shuffle permutes ROWS; with grouping it permutes whole GROUPS so a
+    session's rows stay contiguous and sorted.
+
+    ``macro_batches`` (DataLoaderConfig.macro_batches_multiples) assembles
+    ``macro × batch_size`` rows per pandas concat and slices the per-step
+    batches out of it — one concat per macro instead of per batch (host
+    input-pipeline throughput knob; SURVEY §7 hard part 6).
+    """
 
     def __init__(
         self,
@@ -109,6 +122,9 @@ class GroupedBatchDataset:
         group_config: Optional[GroupDatasetConfig] = None,
         drop_remainder: bool = True,
         columns: Optional[List[str]] = None,
+        shuffle_buffer_batches: int = 0,
+        macro_batches: int = 1,
+        seed: Optional[int] = None,
     ):
         self._gen = dataframe_generator
         self._features = features_config
@@ -117,6 +133,9 @@ class GroupedBatchDataset:
         self._group = group_config if group_config is not None else features_config.group_dataset
         self._drop_remainder = drop_remainder
         self._columns = columns
+        self._shuffle_buffer_batches = max(0, shuffle_buffer_batches)
+        self._macro_batches = max(1, macro_batches)
+        self._seed = seed
 
     def _iter_rows(self) -> Iterator[pd.DataFrame]:
         for df in self._gen:
@@ -143,23 +162,59 @@ class GroupedBatchDataset:
         produced = 0
         pending: List[pd.DataFrame] = []
         pending_rows = 0
+        grouping = self._group is not None and bool(self._group.group_by_columns)
+        rng = (
+            np.random.RandomState(0 if self._seed is None else self._seed)
+            if self._shuffle_buffer_batches
+            else None
+        )
+        emit_rows = self._batch_size * self._macro_batches
+        buffer_rows = self._batch_size * self._shuffle_buffer_batches
+        # keep buffer_rows of lookahead behind every emission so the shuffle
+        # window always spans at least that many future rows
+        threshold = emit_rows + buffer_rows
+
+        def _emit(df: pd.DataFrame) -> Iterator[Batch]:
+            for s in range(0, df.shape[0], self._batch_size):
+                yield make_features_compliant(
+                    dict(df.iloc[s : s + self._batch_size]), self._features
+                )
+
+        def _drain(n_rows: int) -> pd.DataFrame:
+            nonlocal pending, pending_rows
+            if rng is not None and grouping:
+                # permute whole groups; intra-group order stays sorted
+                order = rng.permutation(len(pending))
+                pending = [pending[j] for j in order]
+            df = pd.concat(pending, axis=0) if len(pending) > 1 else pending[0]
+            if rng is not None and not grouping:
+                df = df.sample(frac=1.0, random_state=rng)
+            head, rest = df.iloc[:n_rows], df.iloc[n_rows:]
+            pending = [rest] if rest.shape[0] else []
+            pending_rows = rest.shape[0]
+            return head
+
         for piece in self._iter_rows():
             if self._columns is not None:
                 keep = [c for c in piece.columns if c in self._columns]
                 piece = piece[keep]
             pending.append(piece)
             pending_rows += piece.shape[0]
-            while pending_rows >= self._batch_size:
-                df = pd.concat(pending, axis=0) if len(pending) > 1 else pending[0]
-                head = df.iloc[: self._batch_size]
-                rest = df.iloc[self._batch_size:]
-                pending = [rest] if rest.shape[0] else []
-                pending_rows = rest.shape[0]
-                yield make_features_compliant(dict(head), self._features)
+            while pending_rows >= threshold:
+                for batch in _emit(_drain(emit_rows)):
+                    yield batch
+                    produced += 1
+                    if self._limit is not None and produced >= self._limit:
+                        return
+        # generator exhausted: flush whatever full batches remain
+        while pending_rows >= self._batch_size:
+            n = (pending_rows // self._batch_size) * self._batch_size
+            for batch in _emit(_drain(n)):
+                yield batch
                 produced += 1
                 if self._limit is not None and produced >= self._limit:
                     return
-        if pending and not self._drop_remainder:
+        if pending and pending_rows and not self._drop_remainder:
             df = pd.concat(pending, axis=0) if len(pending) > 1 else pending[0]
             n = df.shape[0]
             # pad by repeating rows; '_pad_mask' marks the synthetic tail

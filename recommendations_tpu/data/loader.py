@@ -96,11 +96,19 @@ def get_host_dataloader(
     features_config: FeaturesConfig,
     fs_config: FileSystemConfig,
     drop_remainder: bool = True,
-) -> HostDataLoader:
+):
     """Assemble generator → grouper/batcher → prefetching loader
-    (mirrors reference ``get_torch_dataloader``, ``data/__init__.py:24-65``)."""
+    (mirrors reference ``get_torch_dataloader``, ``data/__init__.py:24-65``).
+
+    DataLoaderConfig knobs consumed here: ``shuffle_buffer_num_mini_batches``
+    and ``macro_batches_multiples`` parameterize the batcher (train only —
+    the val/inference order must be stable for cached-eval comparability);
+    ``bypass_dataloader`` returns the dataset without the prefetch thread
+    (reference returns the raw IterableDataset, ``data/__init__.py:48-54``).
+    """
     generator = data_loader_strategy.load(kind, worker_id, paths, fs_config)
     dl_cfg: DataLoaderConfig = data_loader_strategy.data_loader_config
+    is_train = kind == "train"
     dataset = GroupedBatchDataset(
         dataframe_generator=generator,
         features_config=features_config,
@@ -108,5 +116,13 @@ def get_host_dataloader(
         limit=num_steps,
         drop_remainder=drop_remainder,
         columns=None,
+        shuffle_buffer_batches=(
+            dl_cfg.shuffle_buffer_num_mini_batches if is_train else 0
+        ),
+        macro_batches=dl_cfg.macro_batches_multiples if is_train else 1,
+        # decorrelate hosts; deterministic per (host, run)
+        seed=1_000_003 * worker_id + 17,
     )
+    if dl_cfg.bypass_dataloader:
+        return dataset
     return HostDataLoader(dataset, max_prefetch=dl_cfg.max_prefetch)

@@ -55,6 +55,7 @@ class TrainerPipeline:
             )
         )
         self._trained = None  # (wrapper, state)
+        self._trace_batch = None  # captured example for StableHLO tracing
 
     def execute(self) -> Dict[str, float]:
         cfg = self.pipeline_config
@@ -69,6 +70,9 @@ class TrainerPipeline:
         train_paths = get_train_data_paths(cfg.dataset)
         val_paths = get_val_data_paths(cfg.dataset)
         logger.info("train paths: %d, val paths: %d", len(train_paths), len(val_paths))
+
+        if cfg.export is not None and cfg.export.trace:
+            self._capture_trace_batch(train_paths)
 
         metrics: Dict[str, float] = {}
         if not cfg.train.skip_train:
@@ -96,6 +100,30 @@ class TrainerPipeline:
 
         trackers.end_run()
         return metrics
+
+    def _capture_trace_batch(self, train_paths: List[str]) -> None:
+        """First mini-batch (≤32 rows) for tracing the exported inference fns
+        — reference ``trainer_pipeline.py:69-90``; the loader batch size is
+        ``data_loader.mini_batch_size`` (reference ``:75``)."""
+        try:
+            from recommendations_tpu.data.loader import get_host_dataloader
+
+            cfg = self.pipeline_config
+            loader = get_host_dataloader(
+                kind="val",  # no shuffle buffer / deterministic order
+                worker_id=0,
+                paths=train_paths,
+                batch_size=cfg.data_loader.mini_batch_size,
+                num_steps=1,
+                data_loader_strategy=self.data_loader_strategy,
+                features_config=cfg.model.features,
+                fs_config=cfg.dataset.filesystem_config,
+            )
+            batch = next(iter(loader), None)
+            if batch is not None:
+                self._trace_batch = {k: v[:32] for k, v in batch.items()}
+        except Exception:
+            logger.exception("trace-batch capture failed; exporting without")
 
     def run_inference(self) -> Optional[str]:
         """Batch inference to parquet (the reference's ModelInferenceConfig
@@ -165,7 +193,7 @@ class TrainerPipeline:
                     wrapper,
                     state,
                     tmp,
-                    trace_batch=None,
+                    trace_batch=self._trace_batch,
                     export_config_str=cfg.export.export_config_str,
                 )
             store.upload_dir_recursive(
