@@ -40,6 +40,9 @@ class PjitTrainingStrategyConfig(TrainingStrategyConfig):
     mesh_data: int = -1
     mesh_model: int = 1
     mesh_expert: int = 1
+    # DCN data-parallel granules (multi-slice): None auto-detects one granule
+    # per TPU slice / host; 1 forces a flat single-slice ICI mesh
+    mesh_dcn_data: int | None = None
     # donate the train-state buffers to the step (in-place updates on device)
     donate_state: bool = True
     timeout: int = 300

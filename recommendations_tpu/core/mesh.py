@@ -29,13 +29,25 @@ from jax.sharding import Mesh
 
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
-    """Logical mesh shape.  -1 for ``data`` means "all remaining devices"."""
+    """Logical mesh shape.  -1 for ``data`` means "all remaining devices".
+
+    DCN (multi-slice) is expressed WITHOUT a new axis name: ``dcn_data``
+    data-parallel granules multiply the 'data' axis, with granules laid out
+    outermost within that axis (``mesh_utils.create_hybrid_device_mesh``
+    convention).  XLA then reduces gradients hierarchically — within a slice
+    over ICI, across slices over DCN — while every ``PartitionSpec('data')``
+    in the codebase keeps working unchanged.  'model'/'expert' stay inside a
+    slice so all-to-all/ppermute collectives ride ICI only (SURVEY §2.3).
+    """
 
     data: int = -1
     model: int = 1
     expert: int = 1
-    # Axis names, outermost first.  DCN (multi-slice) would prepend a 'dcn'
-    # axis here; single-slice meshes use ICI for all three.
+    # data-parallel granules across DCN.  None = auto-detect: one granule per
+    # TPU slice (``device.slice_index``) or per host process when slices are
+    # not exposed, active only when >1 granule is visible.  1 forces a flat
+    # single-slice ICI mesh; explicit N>1 forces N granules.
+    dcn_data: Optional[int] = None
     axis_names: Tuple[str, ...] = ("data", "model", "expert")
 
     def resolved_shape(self, n_devices: int) -> Tuple[int, ...]:
@@ -76,11 +88,60 @@ def init_distributed(
         pass
 
 
+def _device_granules(devices: Sequence[jax.Device]) -> list:
+    """Group devices by DCN granule: TPU slice when exposed, else process."""
+    keys = []
+    for d in devices:
+        k = getattr(d, "slice_index", None)
+        if k is None:
+            k = getattr(d, "process_index", 0)
+        keys.append(k)
+    return [
+        [d for d, k in zip(devices, keys) if k == g] for g in sorted(set(keys))
+    ]
+
+
 def build_mesh(
     config: MeshConfig = MeshConfig(),
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
+
+    granules = _device_granules(devices)
+    n_g = (
+        config.dcn_data
+        if config.dcn_data is not None
+        else (len(granules) if len(granules) > 1 else 1)
+    )
+    if n_g > 1:
+        if len(devices) % n_g:
+            raise ValueError(f"{len(devices)} devices not divisible by dcn_data={n_g}")
+        per_slice = len(devices) // n_g
+        slice_data = config.data
+        if slice_data != -1:
+            if slice_data % n_g:
+                raise ValueError(f"data={slice_data} not divisible by dcn_data={n_g}")
+            slice_data //= n_g
+        ici_shape = dataclasses.replace(
+            config, data=slice_data, dcn_data=1
+        ).resolved_shape(per_slice)
+        try:
+            device_array = mesh_utils.create_hybrid_device_mesh(
+                ici_shape, (n_g, 1, 1), devices=devices
+            )
+        except Exception:
+            # CPU simulation / granules without slice_index: granule-major
+            # stack along the data axis (the hybrid-mesh layout contract)
+            gs = (
+                granules
+                if len(granules) == n_g
+                else [devices[i * per_slice : (i + 1) * per_slice] for i in range(n_g)]
+            )
+            device_array = np.concatenate(
+                [np.asarray(g).reshape(ici_shape) for g in gs], axis=0
+            )
+        return Mesh(device_array, config.axis_names)
+
     shape = config.resolved_shape(len(devices))
     try:
         device_array = mesh_utils.create_device_mesh(shape, devices=devices)

@@ -147,12 +147,18 @@ def measure(n_devices: int, per_device_batch: int, seq: int, steps: int) -> dict
         state, _ = train_step(state, dbatch)
     float(checksum(state))
     dt = time.time() - t0
+    from recommendations_tpu.core.mesh import _device_granules
+
+    n_granules = len(_device_granules(jax.devices()[:n_devices]))
     return {
         "devices": n_devices,
         "global_batch": batch_size,
         "examples_per_sec": steps * batch_size / dt,
         "examples_per_sec_per_device": steps * batch_size / dt / n_devices,
         "step_ms": dt / steps * 1e3,
+        # comms regime: 1 granule = all-ICI; >1 = hybrid ICI+DCN (grad
+        # reduction crosses slices/hosts over DCN)
+        "regime": "ici" if n_granules == 1 else f"hybrid_dcn_x{n_granules}",
     }
 
 

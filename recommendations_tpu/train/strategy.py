@@ -114,6 +114,7 @@ class PjitTrainingStrategy(TrainingStrategy):
                 data=self.config.mesh_data,
                 model=getattr(self.config, "mesh_model", 1),
                 expert=getattr(self.config, "mesh_expert", 1),
+                dcn_data=getattr(self.config, "mesh_dcn_data", None),
             )
         )
 

@@ -33,6 +33,11 @@ assert jax.process_count() == num_procs
 assert len(jax.devices()) == num_procs * 2
 
 mesh = build_mesh(MeshConfig(data=-1))
+# multi-process → DCN-aware hybrid mesh: the data axis spans both granules
+# with each process's devices contiguous (granule-major layout)
+assert dict(mesh.shape) == {"data": 4, "model": 1, "expert": 1}, mesh.shape
+_mesh_procs = [d.process_index for d in mesh.devices.reshape(-1)]
+assert _mesh_procs == sorted(_mesh_procs), f"not granule-major: {_mesh_procs}"
 
 # per-host slice of a deterministic global batch
 global_batch = np.arange(8, dtype=np.float64).reshape(8, 1)
