@@ -189,6 +189,12 @@ class LTHMModelWrapper(BaseModelWrapper):
             rules.append(
                 (r".*product_emb_module/embedding", PartitionSpec("model", None))
             )
+        # expert parallelism: MoELinear's stacked (E, in, proj)/(E, proj, out)
+        # weights and (E, features) biases shard over the 'expert' axis; XLA
+        # keeps each expert's einsum local and psums the gate-weighted mix
+        # (nn/transformer.py MoELinear — no code change needed there)
+        rules.append((r".*moe_(fc|proj)/(w1|w2)", PartitionSpec("expert", None, None)))
+        rules.append((r".*moe_(fc|proj)/(b1|b2)", PartitionSpec("expert", None)))
         rules.append((r".*", PartitionSpec()))
         return PartitionRules(rules)
 
