@@ -80,6 +80,15 @@ class ModelEvalConfig(BaseModel):
     skip_knn_eval: bool = True
     knn_top_k_list: List[int] = [1, 5, 10, 20, 100, 200]
     knn_max_query_batches_per_worker: Optional[int] = None
+    # true product catalog: parquet path (read via the dataset's data store)
+    # whose `knn_catalog_id_column` holds raw product ids, hashed with the
+    # history feature's xxhash semantics.  None = ids observed in the eval
+    # stream (sampling bias: only items that appear in val histories).
+    knn_catalog_table_path: Optional[str] = None
+    knn_catalog_id_column: Optional[str] = None
+    # scoring/encoding process the catalog in row chunks of this size so
+    # device memory is bounded regardless of catalog size
+    knn_catalog_chunk_rows: int = 1 << 20
     inference_results_path: Optional[str] = None
 
 

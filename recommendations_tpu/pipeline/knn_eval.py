@@ -83,7 +83,9 @@ def encode_catalog(
             chunk = np.pad(chunk, (0, pad))
         emb = _encode(jnp.asarray(chunk))
         out.append(np.asarray(emb)[: batch_size - pad])
-    return jnp.asarray(np.concatenate(out, axis=0))
+    # host-resident: the scorer streams row chunks to the device, so the
+    # full (N, D) catalog never has to fit in HBM
+    return np.concatenate(out, axis=0)
 
 
 def knn_recall(
@@ -92,15 +94,22 @@ def knn_recall(
     user_batches: List[Dict[str, np.ndarray]],
     catalog_ids: np.ndarray,
     top_k_list: List[int],
+    catalog_chunk_rows: int = 1 << 20,
 ) -> pd.DataFrame:
     """recall@k for 'held-out last item' retrieval.
 
     Each user batch must contain the standard LTHM inputs; the LAST real
     history event is held out as the label and the model queries with the
     remaining prefix.
+
+    The catalog is processed in row chunks of ``catalog_chunk_rows`` with a
+    running top-k merge, so device memory is bounded by
+    ``chunk_rows × D + B × chunk_rows`` regardless of catalog size.
     """
-    catalog_emb = encode_catalog(wrapper, variables, catalog_ids)  # (N, D)
-    cat_ids = jnp.asarray(catalog_ids)
+    catalog_emb = encode_catalog(wrapper, variables, catalog_ids)  # host (N, D)
+    max_k = max(top_k_list)
+    n = len(catalog_ids)
+    chunk = int(min(catalog_chunk_rows, n))
 
     @jax.jit
     def _query(batch):
@@ -115,24 +124,53 @@ def knn_recall(
         q_pos = jnp.clip(s - 1, 0, s)  # output index s-1 sees tokens < s-1
         qe = l2_normalize(q[:, q_pos, :])
         label = out["current_token_ids"][:, s - 1]
-        scores = qe @ catalog_emb.T  # (B, N)
-        return scores, label, count
+        return qe, label, count
 
-    max_k = max(top_k_list)
+    @jax.jit
+    def _merge_chunk(qe, cat_emb, cat_ids_c, valid, best_v, best_i):
+        """Score one catalog chunk and fold into the running per-query top-k."""
+        scores = qe @ cat_emb.T  # (B, chunk)
+        scores = jnp.where(valid[None, :], scores, -jnp.inf)
+        k = min(max_k, scores.shape[1])
+        v, idx = jax.lax.top_k(scores, k)
+        ids = jnp.take(cat_ids_c, idx)
+        vv = jnp.concatenate([best_v, v], axis=1)
+        ii = jnp.concatenate([best_i, ids], axis=1)
+        v2, sel = jax.lax.top_k(vv, max_k)
+        return v2, jnp.take_along_axis(ii, sel, axis=1)
+
+    # pre-pad catalog chunks to a fixed size → one compilation of the merge
+    def _chunks():
+        for i in range(0, n, chunk):
+            ce = catalog_emb[i : i + chunk]
+            ci = catalog_ids[i : i + chunk]
+            pad = chunk - len(ci)
+            valid = np.ones(chunk, bool)
+            if pad:
+                ce = np.pad(ce, ((0, pad), (0, 0)))
+                ci = np.pad(ci, (0, pad))
+                valid[len(valid) - pad :] = False
+            yield jnp.asarray(ce), jnp.asarray(ci), jnp.asarray(valid)
+
+    chunk_data = list(_chunks()) if n <= chunk * 8 else None
+
     hits = {k: 0 for k in top_k_list}
     total = 0
     for batch in user_batches:
-        scores, label, count = _query(
+        qe, label, count = _query(
             {k: jnp.asarray(v) for k, v in batch.items() if v.dtype != object}
         )
-        top_idx = jax.lax.top_k(scores, max_k)[1]  # (B, max_k)
-        top_ids = jnp.take(cat_ids, top_idx)
-        valid = np.asarray(count) >= 2
+        b = qe.shape[0]
+        best_v = jnp.full((b, max_k), -jnp.inf, jnp.float32)
+        best_i = jnp.zeros((b, max_k), catalog_ids.dtype)
+        for ce, ci, valid in (chunk_data if chunk_data is not None else _chunks()):
+            best_v, best_i = _merge_chunk(qe, ce, ci, valid, best_v, best_i)
+        valid_q = np.asarray(count) >= 2
         lab = np.asarray(label)
-        ti = np.asarray(top_ids)
+        ti = np.asarray(best_i)
         for k in top_k_list:
-            hits[k] += int(((ti[:, :k] == lab[:, None]).any(axis=1) & valid).sum())
-        total += int(valid.sum())
+            hits[k] += int(((ti[:, :k] == lab[:, None]).any(axis=1) & valid_q).sum())
+        total += int(valid_q.sum())
 
     rows = [
         {"k": k, "recall": hits[k] / max(total, 1), "queries": total}
@@ -168,15 +206,54 @@ def run_knn_eval(wrapper, state, pipeline_config) -> Optional[pd.DataFrame]:
     batches = list(loader)
     if not batches:
         return None
-    # catalog = distinct hashed ids seen in the eval stream
-    ids_key = cfg.model.features.categorical_history_features[0].name
-    all_ids = np.unique(np.concatenate([b[ids_key].reshape(-1) for b in batches]))
-    all_ids = all_ids[all_ids != 0]
+    all_ids = _load_catalog_ids(cfg)
+    if all_ids is None:
+        # fallback: distinct hashed ids seen in the eval stream (sampling
+        # bias: only items appearing in val histories can be retrieved)
+        ids_key = cfg.model.features.categorical_history_features[0].name
+        all_ids = np.unique(np.concatenate([b[ids_key].reshape(-1) for b in batches]))
+        all_ids = all_ids[all_ids != 0]
     variables = {"params": jax.device_get(state.params)}
     if state.constants:
         variables["constants"] = jax.device_get(state.constants)
     df = knn_recall(
-        wrapper, variables, batches, all_ids, cfg.eval.knn_top_k_list
+        wrapper, variables, batches, all_ids, cfg.eval.knn_top_k_list,
+        catalog_chunk_rows=cfg.eval.knn_catalog_chunk_rows,
     )
     logger.info("knn eval:\n%s", df)
     return df
+
+
+def _load_catalog_ids(pipeline_config) -> Optional[np.ndarray]:
+    """True product catalog from ``knn_catalog_table_path`` (parquet via the
+    dataset's data store); raw string ids are hashed with the EXACT history
+    semantics — ``xxh64(str(v), seed=xxh32(lower(history_id_feature_name)))
+    − 2^63`` (``features/transforms.py``) — so they live in the same id space
+    as the model's inputs.  Already-int64 columns pass through unhashed."""
+    cfg = pipeline_config
+    path = cfg.eval.knn_catalog_table_path
+    if not path:
+        return None
+    from recommendations_tpu.data.data_store import DataStoreAccessor
+    from recommendations_tpu.features.hashing import (
+        hash_feature_name_to_int,
+        hash_strings_to_long,
+    )
+
+    feat = cfg.model.features.categorical_history_features[0]
+    col = cfg.eval.knn_catalog_id_column or feat.history_id_feature_name
+    store = DataStoreAccessor.get_instance(cfg.dataset.filesystem_config)
+    df = store.read_single_parquet_file(path, columns=[col])
+    if df is None or df.empty:
+        logger.warning("knn catalog table %s empty/unreadable", path)
+        return None
+    values = df[col].values
+    if np.issubdtype(np.asarray(values).dtype, np.integer):
+        ids = np.asarray(values, dtype=np.int64)
+    else:
+        seed = hash_feature_name_to_int(feat.history_id_feature_name)
+        ids = hash_strings_to_long(
+            [str(v) for v in values], seed, value_to_lower=False
+        )
+    ids = np.unique(ids)
+    return ids[ids != 0]
