@@ -1,0 +1,394 @@
+"""Bench breadth across the BASELINE.md config ladder (VERDICT r1 item 7).
+
+``bench.py`` stays the driver's single-line headline (LTHM-base step bench);
+this sibling records the other ladder rungs, one JSON line each, and writes
+them all to ``BENCH_SUITE.json``:
+
+- ``ranker``      — BASELINE config 2: FDLRM at the prod shape
+  (configs/model/ranker.yaml: QR 1M embeddings, 2 tasks), synthetic batch.
+- ``lthm_10m``    — BASELINE config 3 at its REAL table size: 10M-row
+  KShift table (bench.py uses 1M).
+- ``lthm_seq1024``— BASELINE config 5's sequence length on one chip:
+  6-layer d=512 MQA-32 at seq 1024 with the fused flash kernel.
+- ``loader_e2e``  — end-to-end examples/s INCLUDING the host data pipeline
+  (parquet → pandas → feature transforms → device), via the real
+  TrainerPipeline on a bench-scaled lthm_train.yaml.
+
+Usage: python bench_suite.py [ranker|lthm_10m|lthm_seq1024|loader_e2e|all]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _train_step_fn(wrapper, optimizer):
+    import jax
+    import optax
+
+    from recommendations_tpu.train.train_state import TrainState
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, b):
+        rng, sub = jax.random.split(state.rng)
+
+        def loss_fn(p):
+            return wrapper.loss_and_metrics(p, state.constants, state.aux, b, sub, True)
+
+        (loss, (metrics, new_aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=new_params, constants=state.constants, opt_state=new_opt,
+                aux=new_aux, step=state.step + 1, rng=rng,
+            ),
+            loss,
+        )
+
+    return train_step
+
+
+def _timed_steps(train_step, state, dbatch, steps):
+    """Steps/sec with a device_get execution barrier (see bench.py: the only
+    reliable barrier on tunneled runtimes)."""
+    import jax
+    import jax.numpy as jnp
+
+    checksum = jax.jit(
+        lambda s: jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x)).astype(jnp.float32),
+            s.params, jnp.asarray(0.0, jnp.float32),
+        )
+    )
+    state, _ = train_step(state, dbatch)  # warmup/compile
+    float(checksum(state))
+    t0 = time.time()
+    for _ in range(steps):
+        state, _ = train_step(state, dbatch)
+    float(checksum(state))
+    return time.time() - t0
+
+
+def _make_state(wrapper, example, train_cfg=None):
+    import jax
+
+    from recommendations_tpu.config.trainer_config import ModelTrainConfig
+    from recommendations_tpu.train.optimizers import build_optimizer
+    from recommendations_tpu.train.train_state import TrainState
+
+    variables = wrapper.init_variables(jax.random.PRNGKey(0), example)
+    params = variables.get("params", {})
+    constants = variables.get("constants", {})
+    optimizer = build_optimizer(wrapper, train_cfg or ModelTrainConfig(), params)
+    state = TrainState.create(
+        params, constants, optimizer.init(params), wrapper.init_aux_state(),
+        jax.random.PRNGKey(1),
+    )
+    return state, optimizer
+
+
+def _lthm_wrapper(batch, seq, layers, d, vocab, flash):
+    from recommendations_tpu.models.lthm.config import (
+        LTHMModelConfig,
+        LogQConfig,
+        ProductTowerConfig,
+        SelfAttentionConfig,
+        TransformerConfig,
+    )
+    from recommendations_tpu.models.lthm.wrapper import LTHMModelWrapper
+
+    cfg = LTHMModelConfig(
+        features={"defaults": {}},
+        transformer_config=TransformerConfig(
+            rotator_config={"ff_mult": 4},
+            is_causal=True,
+            num_layers=layers,
+            enable_gradient_checkpointing=False,
+            use_flash_attention=flash,
+            attn_config=SelfAttentionConfig(
+                n_head=max(4, d // 16), n_embd=d, attn_type="multi_query",
+                dropout=0.0, attn_dropout=0.0, bias=False,
+            ),
+        ),
+        product_tower=ProductTowerConfig(
+            inp_emb_dim=32, out_emb_dim=d, product_emb_dim=128,
+            norm_bins=20,
+            cosine_lsh_config=[
+                {"num_bins": nb, "num_proj": 32} for nb in (2, 4, 8, 12, 16, 20)
+            ],
+            latent_model_config={
+                "vocab_size_latent": vocab, "num_shifts_latent": 8,
+                "normalize_embedding": True,
+            },
+        ),
+        log_q_config=LogQConfig(num_buckets=2**22, hash_offsets=[0, 34144, 7465477]),
+        lookahead=[0, 5, 6, 12, 24, 30],
+        context_width=seq,
+        softmax_temperature=0.05,
+        train_mini_batch_size=32,
+    )
+    return LTHMModelWrapper(cfg)
+
+
+def _lthm_host_batch(batch, seq, seed=0):
+    rs = np.random.RandomState(seed)
+    ids = rs.randint(-(2**62), 2**62, size=(batch, seq + 8)).astype(np.int64)
+    ids[:, -4:] = 0
+    return {
+        "product_ids": ids,
+        "labels": rs.randint(0, 4, size=ids.shape).astype(np.float32),
+        "timestamps": rs.randint(
+            1_600_000_000, 1_700_000_000, size=ids.shape
+        ).astype(np.float32),
+    }
+
+
+def _device_batch(host_batch, mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return {
+        k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, PartitionSpec("data")))
+        for k, v in host_batch.items()
+    }
+
+
+def _lthm_step_bench(batch, seq, layers, d, vocab, flash, steps):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from recommendations_tpu.core.mesh import MeshConfig, build_mesh
+
+    wrapper = _lthm_wrapper(batch, seq, layers, d, vocab, flash)
+    host_batch = _lthm_host_batch(batch, seq)
+    mesh = build_mesh(MeshConfig(data=-1))
+    example = {k: np.asarray(v) for k, v in host_batch.items()}
+    state, optimizer = _make_state(wrapper, example)
+    state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+    dbatch = _device_batch(host_batch, mesh)
+    train_step = _train_step_fn(wrapper, optimizer)
+    elapsed = _timed_steps(train_step, state, dbatch, steps)
+    return steps * batch / elapsed / len(jax.devices())
+
+
+# ---------------------------------------------------------------- benches
+
+
+def bench_lthm_10m(on_tpu):
+    b, s, layers, d, vocab = (64, 256, 6, 512, 10_000_000) if on_tpu else (
+        8, 32, 2, 64, 100_000
+    )
+    v = _lthm_step_bench(b, s, layers, d, vocab, flash=on_tpu, steps=20 if on_tpu else 3)
+    return {
+        "metric": "lthm_10m_train_examples_per_sec_per_chip",
+        "value": round(v, 2), "unit": "examples/s/chip",
+    }
+
+
+def bench_lthm_seq1024(on_tpu):
+    b, s, layers, d, vocab = (16, 1024, 6, 512, 1_000_000) if on_tpu else (
+        4, 128, 2, 64, 50_000
+    )
+    v = _lthm_step_bench(b, s, layers, d, vocab, flash=on_tpu, steps=20 if on_tpu else 3)
+    return {
+        "metric": "lthm_seq1024_train_examples_per_sec_per_chip",
+        "value": round(v, 2), "unit": "examples/s/chip",
+    }
+
+
+def bench_ranker(on_tpu):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from recommendations_tpu.core.mesh import MeshConfig, build_mesh
+    from recommendations_tpu.config.yaml_loader import compose_config
+    from recommendations_tpu.models.ranker.config import RankerModelConfig
+    from recommendations_tpu.models.ranker.wrapper import RankerModelWrapper
+    from recommendations_tpu.features.hashing import (
+        hash_feature_name_to_int,
+        hash_string_to_long,
+    )
+
+    raw = compose_config(
+        os.path.join(REPO, "configs", "model", "ranker.yaml"),
+        search_paths=[os.path.join(REPO, "configs")],
+    )
+    raw.pop("kind", None), raw.pop("type", None)
+    if not on_tpu:
+        raw["num_embeddings_default"] = 10_007
+    cfg = RankerModelConfig(**{k: v for k, v in raw.items() if k in RankerModelConfig.model_fields})
+    wrapper = RankerModelWrapper(cfg)
+
+    batch = 8192 if on_tpu else 256
+    rs = np.random.RandomState(0)
+    host_batch = {}
+    for c in ("product_id", "customer_id", "search_query"):
+        seed = hash_feature_name_to_int(c)
+        vals = [f"{c}_{i}" for i in rs.randint(0, 100_000, size=batch)]
+        host_batch[c] = np.array(
+            [hash_string_to_long(v, seed, False) for v in vals], dtype=np.int64
+        )
+    for c in ("price", "position", "is_returning_user", "click", "conversion"):
+        host_batch[c] = rs.rand(batch).astype(np.float32)
+    host_batch["click"] = (host_batch["price"] > 0.5).astype(np.float32)
+    host_batch["conversion"] = (host_batch["position"] > 0.7).astype(np.float32)
+    host_batch["event_ts"] = rs.randint(
+        1_600_000_000, 1_700_000_000, size=batch
+    ).astype(np.int64)
+
+    mesh = build_mesh(MeshConfig(data=-1))
+    state, optimizer = _make_state(wrapper, host_batch)
+    state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+    dbatch = _device_batch(host_batch, mesh)
+    train_step = _train_step_fn(wrapper, optimizer)
+    steps = 30 if on_tpu else 3
+    elapsed = _timed_steps(train_step, state, dbatch, steps)
+    v = steps * batch / elapsed / len(jax.devices())
+    return {
+        "metric": "ranker_train_examples_per_sec_per_chip",
+        "value": round(v, 2), "unit": "examples/s/chip",
+    }
+
+
+def bench_loader_e2e(on_tpu):
+    """True end-to-end rate: parquet → pandas transforms → grouped batches →
+    device → jit step, through the real TrainerPipeline (SURVEY §7 hard part
+    6: 'pandas-per-file transforms won't feed a pod' — measure it)."""
+    from recommendations_tpu.tools.synth_data import write_synthetic_dataset
+    from recommendations_tpu.config.yaml_loader import load_config
+    from main_training import execute_pipeline
+
+    data_root = "/tmp/bench_loader/data"
+    out_root = "/tmp/bench_loader/out"
+    for d in (data_root, out_root):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+
+    steps = 40 if on_tpu else 4
+    hist = 264 if on_tpu else 40
+    write_synthetic_dataset(
+        data_root,
+        dates=["20240101"],
+        files_per_date=8 if on_tpu else 2,
+        users_per_file=480 if on_tpu else 64,
+        history_len=hist,
+        num_products=20_000,
+    )
+    overrides = {
+        "dataset": {
+            "path_glob_train": f"{data_root}/date=20240101/*.parquet",
+            "path_glob_test": f"{data_root}/date=20240101/part-00000.parquet",
+        },
+        "checkpoint_dir": None,
+        "train": {
+            "train_steps": steps,
+            "checkpoint_every_k_steps": 0,
+            "train_metrics_every_n_steps": steps,
+            "val_metrics_every_n_steps": 0,
+            "validation_steps": 0,
+        },
+        "data_loader": {"bypass_dataloader": False, "max_readers": 8},
+        "export": {"filesystem_config": {"local_dir_prefix": f"{out_root}/export"}},
+        "trackers": {"trackers": []},
+        "model": {
+            # bench scale: 6-layer LTHM-base (BASELINE config 3) shape so the
+            # number is comparable to bench.py's device-resident step bench
+            "context_width": 256 if on_tpu else 16,
+            "transformer_config": {"num_layers": 6 if on_tpu else 1},
+            "product_tower": {
+                "latent_model_config": {"vocab_size_latent": 1_000_000 if on_tpu else 10_000},
+            },
+            "log_q_config": {"num_buckets": 2**22 if on_tpu else 1024,
+                             "hash_offsets": [0, 34144, 7465477]},
+            # history features sized to the synthetic log (feature transforms
+            # compile at validation — lists must be replaced, not mutated)
+            "features": {
+                "categorical_history_features": [
+                    {
+                        "name": "product_ids", "kind": "categorical_history",
+                        "tower_name": "other", "history_length": hist,
+                        "history_id_feature_name": "product_id",
+                        "value_to_number_mapper": {"kind": "xxhash"},
+                    }
+                ],
+                "tensor_list_features": [
+                    {"name": n, "kind": "tensor_list", "tower_name": "other",
+                     "shape": [hist],
+                     "source": {"kind": "input", "dtype": "tensor_list"}}
+                    for n in ("labels", "timestamps")
+                ],
+            },
+        },
+    }
+    cfg = load_config(
+        os.path.join(REPO, "configs", "lthm_train.yaml"),
+        overrides=overrides,
+        search_paths=[os.path.join(REPO, "configs")],
+    )
+    metrics = execute_pipeline(cfg)
+    v = float(metrics["train_samples_per_sec"])
+    import jax
+
+    return {
+        "metric": "lthm_loader_e2e_examples_per_sec_per_chip",
+        "value": round(v / len(jax.devices()), 2), "unit": "examples/s/chip",
+    }
+
+
+BENCHES = {
+    "ranker": bench_ranker,
+    "lthm_10m": bench_lthm_10m,
+    "lthm_seq1024": bench_lthm_seq1024,
+    "loader_e2e": bench_loader_e2e,
+}
+
+
+def main() -> int:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    names = list(BENCHES) if which == "all" else [which]
+
+    import recommendations_tpu  # noqa: F401
+    import jax
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    results = []
+    for name in names:
+        t0 = time.time()
+        row = BENCHES[name](on_tpu)
+        row["bench_wall_s"] = round(time.time() - t0, 1)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    out_path = os.path.join(REPO, "BENCH_SUITE.json")
+    existing = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                existing = {r["metric"]: r for r in json.load(f)}
+        except Exception:
+            existing = {}
+    for r in results:
+        existing[r["metric"]] = r
+    with open(out_path, "w") as f:
+        json.dump(list(existing.values()), f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -114,6 +114,10 @@ class TransformerConfig(BaseModel):
     is_sparse_attn: bool = False
     sparsity_factor: float = 0.5
     enable_gradient_checkpointing: bool = False
+    # remat policy when checkpointing: 'dots_no_batch' (default — saves
+    # projection GEMMs, recomputes the (B,H,S,S) attention logits), 'dots'
+    # (saves every dot incl. attention logits), 'full' (recompute everything)
+    remat_policy: str = "dots_no_batch"
     # Pallas blockwise attention (long-context path); requires pos_bias=None
     use_flash_attention: bool = False
     # context parallelism: shard the sequence dim over the mesh 'model' axis,

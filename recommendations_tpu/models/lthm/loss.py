@@ -29,6 +29,7 @@ bounds), matching the reference's per-step curriculum
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Tuple
 
 import jax
@@ -58,16 +59,44 @@ def sample_offsets(rng: jax.Array, lookahead: List[int]) -> jnp.ndarray:
     return jnp.stack(offsets)
 
 
-def _ce_rows(
-    q16: jnp.ndarray,   # (N, D) bf16 normalized queries
-    c16: jnp.ndarray,   # (N, D) bf16 normalized candidates
-    v: jnp.ndarray,     # (N,) bool slot validity
-    lq: jnp.ndarray,    # (N,) f32 logQ of candidates
-    bc: int,
-    s: int,
-    temperature: float,
-    beta: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _masked_adj(q, c, vv, lqv, s: int, inv_t: float, beta: float):
+    # store the (N, N) GEMM output in the operand dtype (bf16 on TPU):
+    # it is the dominant HBM tensor of the loss; the f32 upcast fuses
+    # into the elementwise mask/exp consumers so f32 never hits HBM.
+    # bf16 quantum at |logit|<=1/temperature is coarse (~0.125 at 20),
+    # but the *adjusted* CE subtracts a same-magnitude diagonal — the
+    # measured step-loss delta vs f32 storage is <0.01% (see commit).
+    n = q.shape[0]
+    raw = jax.lax.dot_general(
+        q, c, (((1,), (1,)), ((), ())), preferred_element_type=q.dtype
+    ).astype(jnp.float32) * jnp.float32(inv_t)
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    same_user = (i_idx // s) == (j_idx // s)
+    eye = i_idx == j_idx
+    masked = (same_user & ~eye) | (~vv)[None, :]
+    logits = jnp.where(masked, jnp.float32(_BIG_NEG), raw)
+    # logQ subtracted per candidate column, zeroed at the positive
+    # (reference wrapper.py:167-174)
+    adj = jnp.where(eye, logits, logits - jnp.float32(beta) * lqv[None, :])
+    return logits, adj, eye
+
+
+def _ce_fwd_impl(q, c, vv, lqv, s, inv_t, beta):
+    logits, adj, eye = _masked_adj(q, c, vv, lqv, s, inv_t, beta)
+    # Analytic logsumexp shift: inputs are L2-normalized so raw logits are
+    # bounded by 1/temperature, and the logQ term by beta*max|logQ| — a
+    # scalar bound replaces the per-row max pass over the (N, N) tile.
+    m = jnp.float32(inv_t) + jnp.float32(beta) * jnp.max(jnp.abs(lqv)) + 1.0
+    lse = m + jnp.log(jnp.sum(jnp.exp(adj - m), axis=-1))
+    diag = jnp.sum(jnp.where(eye, adj, 0.0), axis=-1)
+    ce = lse - diag
+    rank = jnp.sum((logits > diag[:, None]).astype(jnp.int32), axis=-1)
+    return ce, rank
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ce_core(q, c, vv, lqv, s, inv_t, beta):
     """Per-row contrastive CE + positive rank with a hand-written VJP.
 
     Autodiff of the naive formulation materializes the f32 (N, N) cotangent
@@ -80,84 +109,61 @@ def _ce_rows(
     kernel) expressed in XLA ops: the runtime here cannot lower gridded
     Pallas calls, and the GEMM/fusion structure below is what the Pallas
     kernel would pipeline anyway.
+
+    Defined at module level (NOT nested in the caller): a custom_vjp created
+    inside a traced function leaks trace-time constants into the residual
+    jaxpr, which breaks lax.scan's transpose ("No constant handler for
+    DynamicJaxprTracer") — the scan path below relies on this.
     """
-    n = bc * s
-    inv_t = jnp.float32(1.0 / temperature)
-    neg = jnp.float32(_BIG_NEG)
-    beta_f = jnp.float32(beta)
+    return _ce_fwd_impl(q, c, vv, lqv, s, inv_t, beta)
 
-    def masked_adj(q, c, vv, lqv):
-        # store the (N, N) GEMM output in the operand dtype (bf16 on TPU):
-        # it is the dominant HBM tensor of the loss; the f32 upcast fuses
-        # into the elementwise mask/exp consumers so f32 never hits HBM.
-        # bf16 quantum at |logit|<=1/temperature is coarse (~0.125 at 20),
-        # but the *adjusted* CE subtracts a same-magnitude diagonal — the
-        # measured step-loss delta vs f32 storage is <0.01% (see commit).
-        raw = jax.lax.dot_general(
-            q, c, (((1,), (1,)), ((), ())), preferred_element_type=q.dtype
-        ).astype(jnp.float32) * inv_t
-        i_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        j_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-        same_user = (i_idx // s) == (j_idx // s)
-        eye = i_idx == j_idx
-        masked = (same_user & ~eye) | (~vv)[None, :]
-        logits = jnp.where(masked, neg, raw)
-        # logQ subtracted per candidate column, zeroed at the positive
-        # (reference wrapper.py:167-174)
-        adj = jnp.where(eye, logits, logits - beta_f * lqv[None, :])
-        return logits, adj, eye
 
-    # Analytic logsumexp shift: inputs are L2-normalized so raw logits are
-    # bounded by 1/temperature, and the logQ term by beta*max|logQ| — a
-    # scalar bound replaces the per-row max pass over the (N, N) tile.
-    def shift(lqv):
-        return inv_t + beta_f * jnp.max(jnp.abs(lqv)) + 1.0
+def _ce_core_fwd(q, c, vv, lqv, s, inv_t, beta):
+    ce, rank = _ce_fwd_impl(q, c, vv, lqv, s, inv_t, beta)
+    # residuals are O(N): the (N, N) tile is recomputed in bwd
+    return (ce, rank), (q, c, vv, lqv, ce)
 
-    def fwd_impl(q, c, vv, lqv):
-        logits, adj, eye = masked_adj(q, c, vv, lqv)
-        m = shift(lqv)
-        lse = m + jnp.log(jnp.sum(jnp.exp(adj - m), axis=-1))
-        diag = jnp.sum(jnp.where(eye, adj, 0.0), axis=-1)
-        ce = lse - diag
-        rank = jnp.sum((logits > diag[:, None]).astype(jnp.int32), axis=-1)
-        return ce, rank
 
-    @jax.custom_vjp
-    def core(q, c, vv, lqv):
-        return fwd_impl(q, c, vv, lqv)
+def _ce_core_bwd(s, inv_t, beta, res, cts):
+    q, c, vv, lqv, ce = res
+    dce = cts[0].astype(jnp.float32)
+    _logits, adj, eye = _masked_adj(q, c, vv, lqv, s, inv_t, beta)
+    # p = softmax(adj) per row, recovered from ce: lse = ce + diag(adj)
+    diag = jnp.sum(jnp.where(eye, adj, 0.0), axis=-1)
+    lse = ce + diag
+    a = dce * jnp.float32(inv_t)
+    p = jnp.exp(adj - lse[:, None])
+    # masked columns underflow to exactly 0 (exp(-1e9 - lse)); rows whose
+    # diagonal is masked only occur with w=0 upstream => dce=0 there
+    g16 = ((p - eye.astype(jnp.float32)) * a[:, None]).astype(jnp.bfloat16)
+    dq = jax.lax.dot_general(
+        g16, c, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dc = jax.lax.dot_general(
+        g16, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return (
+        dq.astype(q.dtype),
+        dc.astype(c.dtype),
+        np.zeros(vv.shape, dtype=jax.dtypes.float0),
+        jnp.zeros_like(lqv),
+    )
 
-    def core_fwd(q, c, vv, lqv):
-        ce, rank = fwd_impl(q, c, vv, lqv)
-        # residuals are O(N): the (N, N) tile is recomputed in bwd
-        return (ce, rank), (q, c, vv, lqv, ce)
 
-    def core_bwd(res, cts):
-        q, c, vv, lqv, ce = res
-        dce = cts[0].astype(jnp.float32)
-        _logits, adj, eye = masked_adj(q, c, vv, lqv)
-        # p = softmax(adj) per row, recovered from ce: lse = ce + diag(adj)
-        diag = jnp.sum(jnp.where(eye, adj, 0.0), axis=-1)
-        lse = ce + diag
-        a = dce * inv_t
-        p = jnp.exp(adj - lse[:, None])
-        # masked columns underflow to exactly 0 (exp(-1e9 - lse)); rows whose
-        # diagonal is masked only occur with w=0 upstream => dce=0 there
-        g16 = ((p - eye.astype(jnp.float32)) * a[:, None]).astype(jnp.bfloat16)
-        dq = jax.lax.dot_general(
-            g16, c, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dc = jax.lax.dot_general(
-            g16, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return (
-            dq.astype(q.dtype),
-            dc.astype(c.dtype),
-            np.zeros(vv.shape, dtype=jax.dtypes.float0),
-            jnp.zeros_like(lqv),
-        )
+_ce_core.defvjp(_ce_core_fwd, _ce_core_bwd)
 
-    core.defvjp(core_fwd, core_bwd)
-    return core(q16, c16, v, lq)
+
+def _ce_rows(
+    q16: jnp.ndarray,   # (N, D) bf16 normalized queries
+    c16: jnp.ndarray,   # (N, D) bf16 normalized candidates
+    v: jnp.ndarray,     # (N,) bool slot validity
+    lq: jnp.ndarray,    # (N,) f32 logQ of candidates
+    bc: int,
+    s: int,
+    temperature: float,
+    beta: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return _ce_core(q16, c16, v, lq, s, float(1.0 / temperature), float(beta))
 
 
 def _head_loss(
@@ -276,31 +282,55 @@ def contrastive_step(
         valid = (~cand_mask) & pos_ok
         query = out_emb[:, :s, i, :]
 
-        head_loss = jnp.asarray(0.0, jnp.float32)
-        agg: Dict[str, jnp.ndarray] = {}
-        ranks, weights, min_negs = [], [], []
         n_chunks = len(starts)
         # no jax.checkpoint needed: _ce_rows' custom VJP keeps only O(N)
         # residuals and recomputes the (N,N) logits GEMM in backward
         head_loss_fn = lambda *a: _head_loss(*a, temperature=temperature, beta=beta)
-        for cs in starts:
-            ce_loss, m = head_loss_fn(
-                query[cs : cs + chunk],
-                cand[cs : cs + chunk],
-                valid[cs : cs + chunk],
-                cand_logq[cs : cs + chunk],
+        if n_chunks > 1 and b % chunk == 0:
+            # lax.scan serializes the chunks: a python loop leaves XLA free to
+            # schedule every chunk's (N,N) tile with overlapping liveness —
+            # at the prod scale point (chunk·S = 16K) that is 512 MB/tile x
+            # heads x chunks of HLO temps and an HBM OOM.  scan bounds the
+            # live set to one chunk in forward AND backward.
+            xs = tuple(
+                a.reshape((n_chunks, chunk) + a.shape[1:])
+                for a in (query, cand, valid, cand_logq)
             )
-            head_loss = head_loss + ce_loss / n_chunks
-            ranks.append(m.pop("_rank"))
-            weights.append(m.pop("_weight"))
-            min_negs.append(m.pop("_min_neg"))
-            for key, val in m.items():
-                agg[key] = agg.get(key, 0.0) + val / n_chunks
+
+            def chunk_body(acc, x):
+                ce_loss, m = head_loss_fn(*x)
+                return acc + ce_loss, m
+
+            head_total, ms = jax.lax.scan(
+                chunk_body, jnp.asarray(0.0, jnp.float32), xs
+            )
+            head_loss = head_total / n_chunks
+            rank_all = ms.pop("_rank").reshape(-1)
+            w_all = ms.pop("_weight").reshape(-1)
+            min_neg = jnp.min(ms.pop("_min_neg"))
+            agg = {key: jnp.mean(val, axis=0) for key, val in ms.items()}
+        else:
+            head_loss = jnp.asarray(0.0, jnp.float32)
+            agg = {}
+            ranks, weights, min_negs = [], [], []
+            for cs in starts:
+                ce_loss, m = head_loss_fn(
+                    query[cs : cs + chunk],
+                    cand[cs : cs + chunk],
+                    valid[cs : cs + chunk],
+                    cand_logq[cs : cs + chunk],
+                )
+                head_loss = head_loss + ce_loss / n_chunks
+                ranks.append(m.pop("_rank"))
+                weights.append(m.pop("_weight"))
+                min_negs.append(m.pop("_min_neg"))
+                for key, val in m.items():
+                    agg[key] = agg.get(key, 0.0) + val / n_chunks
+            rank_all = jnp.concatenate(ranks)
+            w_all = jnp.concatenate(weights)
+            min_neg = jnp.min(jnp.stack(min_negs))
 
         total_loss = total_loss + head_loss
-        rank_all = jnp.concatenate(ranks)
-        w_all = jnp.concatenate(weights)
-        min_neg = jnp.min(jnp.stack(min_negs))
         used = jnp.maximum(jnp.sum(w_all), 1.0)
         for k in metrics_k_all:
             k_eff = jnp.minimum(k, min_neg)

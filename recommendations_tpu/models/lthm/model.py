@@ -169,6 +169,7 @@ class QueryTower(nn.Module):
             use_ring=tcfg.sequence_parallel,
             mesh=self.mesh if tcfg.sequence_parallel else None,
             remat=tcfg.enable_gradient_checkpointing,
+            remat_policy=tcfg.remat_policy,
             dtype=dtype,
             name="transformer",
         )

@@ -292,10 +292,13 @@ class TransformerStack(nn.Module):
     ring_axis: str = "model"
     data_axis: str = "data"
     remat: bool = False
-    # 'full' recomputes everything; 'dots' saves matmul outputs and only
-    # recomputes elementwise ops in backward (≈25% fewer step FLOPs for
-    # ~B*T*5d extra bytes per layer)
-    remat_policy: str = "dots"
+    # 'full' recomputes everything; 'dots' saves ALL matmul outputs — on the
+    # XLA attention path that includes the (B,H,S,S) logits (1.27 GB/layer at
+    # the prod scale point: 16 layers OOM'd a 16G chip); 'dots_no_batch'
+    # (default) saves only batch-dim-free dots — the projection/MLP GEMMs —
+    # and recomputes attention logits in backward, bounding saved bytes to
+    # ~B*T*5d per layer regardless of S
+    remat_policy: str = "dots_no_batch"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -329,11 +332,11 @@ class TransformerStack(nn.Module):
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         block_cls = TransformerBlock
         if self.remat:
-            policy = (
-                jax.checkpoint_policies.dots_saveable
-                if self.remat_policy == "dots"
-                else None
-            )
+            policy = {
+                "dots": jax.checkpoint_policies.dots_saveable,
+                "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                "full": None,
+            }[self.remat_policy]
             block_cls = nn.remat(TransformerBlock, static_argnums=(3,), policy=policy)
         for depth in range(self.num_layers):
             block = block_cls(
