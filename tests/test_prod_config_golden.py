@@ -1,0 +1,176 @@
+"""Prod-config golden checks (VERDICT r1 item 10).
+
+Two halves:
+
+1. ``test_prod_yaml_validates_and_builds`` — the UNMODIFIED
+   ``configs/lthm_train.yaml`` composes, validates into the pydantic
+   pipeline config at the real scale point (16 layers, MQA-32, seq 512,
+   10M-row table, logQ 2^24), and the model wrapper builds from it.
+   (One real step on hardware is ``tools_golden_run.py``.)
+
+2. ``test_prod_shaped_sharded_step`` — a dryrun_multichip-style step on the
+   8-device CPU mesh with the PROD SHAPE (d=512, MQA-32, rel-pos bias,
+   remat, loss mini-batch scan, ``shard_embedding_rows=true``) over a
+   dp=4 x mp=2 mesh.  Scale knobs (layers, vocab, seq, logQ buckets) are
+   reduced ONLY to bound CI time/memory — none of them changes the
+   sharding semantics being proven.  Asserts the table and its optimizer
+   moments are row-sharded, everything executes, loss is finite.
+"""
+
+import numpy as np
+
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
+
+from recommendations_tpu.config.yaml_loader import load_config
+
+CONFIG_ROOT = "configs"
+
+
+def test_prod_yaml_validates_and_builds():
+    cfg = load_config(
+        f"{CONFIG_ROOT}/lthm_train.yaml", search_paths=[CONFIG_ROOT]
+    )
+    tc = cfg.model.transformer_config
+    assert tc.num_layers == 16
+    assert tc.attn_config.n_head == 32
+    assert tc.attn_config.attn_type == "multi_query"
+    assert tc.attn_config.pos_bias is not None
+    assert cfg.model.context_width == 512
+    assert cfg.model.product_tower.latent_model_config.vocab_size_latent == 10_000_000
+    assert cfg.model.log_q_config.num_buckets == 2**24
+    assert cfg.training_strategy.name == "pjit"
+    # builder seam: wrapper constructs from the validated config (no params
+    # init here — a 10M x 32 table is too slow for CI; tools_golden_run.py
+    # initializes and steps it on hardware)
+    wrapper = cfg.model.get_builder(stats=None).build()
+    assert wrapper.config.transformer_config.num_layers == 16
+
+
+def test_prod_shaped_sharded_step():
+    from recommendations_tpu.config.trainer_config import ModelTrainConfig
+    from recommendations_tpu.core.mesh import MeshConfig, build_mesh
+    from recommendations_tpu.core.partitioning import shard_opt_state, shard_params
+    from recommendations_tpu.train.optimizers import build_optimizer
+    from recommendations_tpu.train.train_state import TrainState
+
+    overrides = {
+        "model": {
+            "shard_embedding_rows": True,
+            "context_width": 32,
+            "transformer_config": {"num_layers": 2},
+            "product_tower": {
+                "latent_model_config": {"vocab_size_latent": 4096},
+            },
+            "log_q_config": {"num_buckets": 4096, "hash_offsets": [0, 7]},
+            "train_mini_batch_size": 4,
+            # pos_bias table must cover context_width+1
+            # (prod sets context_window=513 for seq 512)
+        },
+    }
+    cfg = load_config(
+        f"{CONFIG_ROOT}/lthm_train.yaml",
+        overrides=overrides,
+        search_paths=[CONFIG_ROOT],
+    )
+    acfg = cfg.model.transformer_config.attn_config
+    acfg.pos_bias.context_window = 33
+    # prod-shape invariants preserved by the overrides:
+    assert acfg.n_head == 32 and acfg.n_embd == 512
+    assert acfg.attn_type == "multi_query"
+    assert cfg.model.transformer_config.enable_gradient_checkpointing
+    assert cfg.model.shard_embedding_rows
+
+    wrapper = cfg.model.get_builder(stats=None).build()
+    mesh = build_mesh(MeshConfig(data=4, model=2))
+    wrapper.bind_mesh(mesh)
+
+    b, s = 8, 32
+    rs = np.random.RandomState(0)
+    ids = rs.randint(-(2**62), 2**62, size=(b, s + 8)).astype(np.int64)
+    ids[:, -4:] = 0
+    batch = {
+        "product_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(rs.randint(0, 4, size=ids.shape).astype(np.float32)),
+        "timestamps": jnp.asarray(
+            rs.randint(1_600_000_000, 1_700_000_000, size=ids.shape).astype(np.float32)
+        ),
+    }
+    variables = wrapper.init_variables(jax.random.PRNGKey(0), batch)
+    params = variables.get("params", {})
+    constants = variables.get("constants", {})
+    optimizer = build_optimizer(wrapper, ModelTrainConfig(), params)
+    state = TrainState.create(
+        params, constants, optimizer.init(params), wrapper.init_aux_state(),
+        jax.random.PRNGKey(1),
+    )
+    rules = wrapper.partition_rules()
+    repl = NamedSharding(mesh, PartitionSpec())
+    state = TrainState(
+        params=shard_params(mesh, state.params, rules),
+        constants=jax.device_put(state.constants, repl),
+        opt_state=shard_opt_state(mesh, state.opt_state, state.params, rules),
+        aux=jax.device_put(state.aux, repl),
+        step=jax.device_put(state.step, repl),
+        rng=jax.device_put(state.rng, repl),
+    )
+    batch = {
+        k: jax.device_put(v, NamedSharding(mesh, PartitionSpec("data")))
+        for k, v in batch.items()
+    }
+
+    # the embedding table must be row-sharded over 'model', and so must its
+    # optimizer moments (co-sharded, not replicated)
+    def find_table(tree, pred):
+        out = []
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            if pred(path, leaf):
+                out.append((path, leaf))
+        return out
+
+    tables = find_table(
+        state.params,
+        lambda p, x: hasattr(x, "shape") and x.ndim == 2 and x.shape[0] >= 4096,
+    )
+    assert tables, "no embedding table found in params"
+    sharded_rows = [
+        (p, x) for p, x in tables
+        if x.sharding.spec and x.sharding.spec[0] == "model"
+    ]
+    assert sharded_rows, f"table not row-sharded: {[x.sharding for _, x in tables]}"
+    moment_rows = find_table(
+        state.opt_state,
+        lambda p, x: hasattr(x, "shape") and x.ndim >= 1 and x.size >= 4096
+        and getattr(x.sharding, "spec", None) and x.sharding.spec
+        and x.sharding.spec[0] == "model",
+    )
+    assert moment_rows, "no row-sharded optimizer moments found"
+
+    @jax.jit
+    def train_step(state, batch):
+        rng, sub = jax.random.split(state.rng)
+
+        def loss_fn(p):
+            return wrapper.loss_and_metrics(
+                p, state.constants, state.aux, batch, sub, True
+            )
+
+        (loss, (metrics, new_aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        import optax
+
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=new_params, constants=state.constants, opt_state=new_opt,
+                aux=new_aux, step=state.step + 1, rng=rng,
+            ),
+            loss,
+        )
+
+    state, loss = train_step(state, batch)
+    assert np.isfinite(float(loss))
