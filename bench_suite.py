@@ -280,6 +280,15 @@ def bench_loader_e2e(on_tpu):
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
 
+    import jax
+
+    # the strategy's samples/s clock starts at the FIRST train step, which
+    # includes the jit compile (~90s on the tunnel — it swamped a 40-step
+    # window at 3x).  Persist compiles and run the pipeline twice: the warm
+    # run's number is the real loader-included rate.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/bench_loader/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     steps = 40 if on_tpu else 4
     hist = 264 if on_tpu else 40
     write_synthetic_dataset(
@@ -341,9 +350,9 @@ def bench_loader_e2e(on_tpu):
         overrides=overrides,
         search_paths=[os.path.join(REPO, "configs")],
     )
-    metrics = execute_pipeline(cfg)
+    execute_pipeline(cfg)  # cold run: populates the compilation cache
+    metrics = execute_pipeline(cfg)  # warm run: compile-free rate
     v = float(metrics["train_samples_per_sec"])
-    import jax
 
     return {
         "metric": "lthm_loader_e2e_examples_per_sec_per_chip",
