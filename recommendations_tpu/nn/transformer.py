@@ -332,9 +332,16 @@ class TransformerStack(nn.Module):
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         block_cls = TransformerBlock
         if self.remat:
+            cp = jax.checkpoint_policies
+            # flash kernel outputs (o, lse) are named saveables: the dots_*
+            # policies only match dot_general, so without the names the
+            # backward re-runs the whole pallas forward per block
+            flash_names = cp.save_only_these_names("flash_out", "flash_lse")
             policy = {
-                "dots": jax.checkpoint_policies.dots_saveable,
-                "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                "dots": cp.save_from_both_policies(cp.dots_saveable, flash_names),
+                "dots_no_batch": cp.save_from_both_policies(
+                    cp.dots_with_no_batch_dims_saveable, flash_names
+                ),
                 "full": None,
             }[self.remat_policy]
             block_cls = nn.remat(TransformerBlock, static_argnums=(3,), policy=policy)
