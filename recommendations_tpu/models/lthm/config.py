@@ -11,7 +11,7 @@ silently drops — SURVEY.md §2.5#2: ``sparse``, ``loss_type``,
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional, Tuple, Literal
 
 from pydantic import BaseModel, ConfigDict
 
@@ -117,8 +117,9 @@ class TransformerConfig(BaseModel):
     # remat policy when checkpointing: 'dots_no_batch' (default — saves
     # projection GEMMs, recomputes the (B,H,S,S) attention logits), 'dots'
     # (saves every dot incl. attention logits), 'full' (recompute everything)
-    remat_policy: str = "dots_no_batch"
-    # Pallas blockwise attention (long-context path); requires pos_bias=None
+    remat_policy: Literal["dots", "dots_no_batch", "full"] = "dots_no_batch"
+    # Pallas blockwise attention; with pos_bias set the fused kernel applies
+    # the relative-position bias in-kernel (ops/fused_attention_bias)
     use_flash_attention: bool = False
     # context parallelism: shard the sequence dim over the mesh 'model' axis,
     # attention runs the ring schedule (parallel/ring_attention) — the

@@ -130,7 +130,12 @@ def _ce_core_bwd(s, inv_t, beta, res, cts):
     _logits, adj, eye = _masked_adj(q, c, vv, lqv, s, inv_t, beta)
     # p = softmax(adj) per row, recovered from ce: lse = ce + diag(adj)
     diag = jnp.sum(jnp.where(eye, adj, 0.0), axis=-1)
-    lse = ce + diag
+    # fully-masked rows (invalid slot with no valid candidates in the chunk)
+    # have ce = lse = -inf; exp(adj - (-inf)) = inf would NaN the whole
+    # chunk's dc through the transposed matmul even though dce = 0 there
+    # (inf * 0 = NaN). Pin lse to 0 for those rows: adj is -1e9 everywhere
+    # on them, so p underflows to exactly 0 and the row contributes nothing.
+    lse = jnp.where(jnp.isfinite(ce), ce + diag, jnp.float32(0.0))
     a = dce * jnp.float32(inv_t)
     p = jnp.exp(adj - lse[:, None])
     # masked columns underflow to exactly 0 (exp(-1e9 - lse)); rows whose

@@ -239,7 +239,12 @@ class TransformerBlock(nn.Module):
         flash_ok = ring_ok or (
             self.use_flash
             and attn_mask is None
-            and self.pos_bias_window is None
+            and (
+                self.pos_bias_window is None
+                # the fused kernel applies the relative-position bias
+                # in-kernel when the table covers the sequence
+                or x.shape[1] <= self.pos_bias_window
+            )
         )
         if self.is_causal and not flash_ok:
             cm = causal_mask(x.shape[1])

@@ -1,1 +1,4 @@
-from recommendations_tpu.ops.flash_attention import flash_attention
+from recommendations_tpu.ops.fused_attention import (
+    fused_flash_attention,
+    fused_flash_attention_bias,
+)

@@ -341,9 +341,14 @@ def _bwd_fused_kernel(
 
 
 def _fwd_kernel_grid(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, n_head, hd, kvh, tile_q, kc_size, n_chunks, seq_len, causal,
+    q_ref, k_ref, v_ref, *rest,
+    n_head, hd, kvh, tile_q, kc_size, n_chunks, seq_len, causal, has_bias=False,
 ):
+    if has_bias:
+        bias_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
+        bias_ref = None
     i = pl.program_id(1)
     c = pl.program_id(2)
     scale = jnp.float32(1.0 / math.sqrt(hd))
@@ -369,6 +374,8 @@ def _fwd_kernel_grid(
             kc = k_ref[0][:, ksl]
             vc = v_ref[0][:, ksl]
             s = _mm(qh, kc, ((1,), (1,))) * scale
+            if bias_ref is not None:
+                s = s + bias_ref[0, h].astype(jnp.float32)
             mask = _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
             s = jnp.where(mask, s, jnp.float32(NEG_INF))
             m_prev = m_scr[:, h : h + 1]
@@ -396,10 +403,39 @@ def _fwd_kernel_grid(
             )
 
 
+def _diag_reduce(ds, rows: int, w: int):
+    """Sum a (rows, cols) block over its diagonals.
+
+    Returns (1, w) with out[0, a] = sum over {i, j : j - i + rows - 1 == a}
+    of ds[i, j]. Implemented as a log2(rows)-step per-row circular shift
+    (binary decomposition of the per-row shift amount rows-1-i) followed by
+    a column sum — no gather, no reshape, VPU-only. Requires w >= rows +
+    cols - 1 so shifted rows never wrap onto real data (the tail columns are
+    zero-padded, so wrapped lanes land on zeros).
+    """
+    cols = ds.shape[1]
+    buf = jnp.concatenate([ds, jnp.zeros((rows, w - cols), ds.dtype)], axis=1)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    shift_amt = jnp.int32(rows - 1) - row_idx  # roll row i right by rows-1-i
+    for bit in range(max(1, (rows - 1).bit_length())):
+        # shift must be i32: a python int lowers to an i64 dynamic_rotate
+        # operand, which Mosaic rejects
+        rolled = pltpu.roll(buf, jnp.int32(1 << bit), axis=1)
+        take = ((shift_amt >> jnp.int32(bit)) & jnp.int32(1)) == jnp.int32(1)
+        buf = jnp.where(take, rolled, buf)
+    return jnp.sum(buf, axis=0, keepdims=True)
+
+
 def _dq_kernel_grid(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, dcol_ref, dq_ref, dq_scr,
-    *, n_head, hd, kvh, tile_q, kc_size, n_chunks, seq_len, causal,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dcol_ref, *rest,
+    n_head, hd, kvh, tile_q, kc_size, n_chunks, seq_len, causal, has_bias=False,
 ):
+    if has_bias:
+        bias_ref, dq_ref, dbias_ref, dq_scr = rest
+    else:
+        dq_ref, dq_scr = rest
+        bias_ref = dbias_ref = None
+    b = pl.program_id(0)
     i = pl.program_id(1)
     c = pl.program_id(2)
     scale = jnp.float32(1.0 / math.sqrt(hd))
@@ -410,7 +446,19 @@ def _dq_kernel_grid(
     def _():
         dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
 
+    if dbias_ref is not None:
+        # constant-index output block: persists across the whole grid, is
+        # zeroed once by the first program, accumulated by every live
+        # program, and flushes to HBM when the grid ends
+        @pl.when((b == 0) & (i == 0) & (c == 0))
+        def _():
+            dbias_ref[...] = jnp.zeros(dbias_ref.shape, jnp.float32)
+
     live = (c0 < row0 + jnp.int32(tile_q)) if causal else (c >= 0)
+    if causal:
+        dcls = jnp.maximum(i - c, 0)
+    else:
+        dcls = i - c + jnp.int32(n_chunks - 1)
 
     @pl.when(live)
     def _():
@@ -421,11 +469,19 @@ def _dq_kernel_grid(
             kc = k_ref[0][:, ksl]
             vc = v_ref[0][:, ksl]
             s = _mm(qh, kc, ((1,), (1,))) * scale
+            if bias_ref is not None:
+                s = s + bias_ref[0, h].astype(jnp.float32)
             mask = _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
             p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, h : h + 1]), jnp.float32(0.0))
             dp = _mm(do_ref[0][:, sl], vc, ((1,), (1,)))
             ds = p * (dp - dcol_ref[0][:, h : h + 1])
             dq_scr[:, sl] = dq_scr[:, sl] + _mm(ds.astype(kc.dtype), kc, ((1,), (0,)))
+            if dbias_ref is not None:
+                # d(table) = ds summed over diagonals (bias enters the
+                # logits additively); accumulate the per-diagonal sums of
+                # this block into its diagonal class
+                diag = _diag_reduce(ds, tile_q, dbias_ref.shape[-1])
+                dbias_ref[dcls, h : h + 1, :] = dbias_ref[dcls, h : h + 1, :] + diag
 
     @pl.when(c == n_chunks - 1)
     def _():
@@ -433,10 +489,14 @@ def _dq_kernel_grid(
 
 
 def _dkv_kernel_grid(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, dcol_ref, dk_ref, dv_ref,
-    dk_scr, dv_scr,
-    *, n_head, hd, kvh, tile_k, qc_size, n_chunks, seq_len, causal,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, dcol_ref, *rest,
+    n_head, hd, kvh, tile_k, qc_size, n_chunks, seq_len, causal, has_bias=False,
 ):
+    if has_bias:
+        bias_ref, dk_ref, dv_ref, dk_scr, dv_scr = rest
+    else:
+        dk_ref, dv_ref, dk_scr, dv_scr = rest
+        bias_ref = None
     i = pl.program_id(1)
     c = pl.program_id(2)
     scale = jnp.float32(1.0 / math.sqrt(hd))
@@ -461,6 +521,10 @@ def _dkv_kernel_grid(
             qh = q_ref[0][:, sl]
             doh = do_ref[0][:, sl]
             s = _mm(qh, kf, ((1,), (1,))) * scale  # (qc, tile_k)
+            if bias_ref is not None:
+                # rows are the q chunk (r0), cols the key tile (col0), so the
+                # diagonal class is c - i (mirror of the dq kernel's i - c)
+                s = s + bias_ref[0, h].astype(jnp.float32)
             mask = _chunk_mask(qc_size, tile_k, r0, col0, seq_len, causal)
             p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, h : h + 1]), jnp.float32(0.0))
             dv_h = _mm(p.astype(doh.dtype), doh, ((0,), (0,)))
@@ -848,3 +912,289 @@ def _fused_vjp_bwd(n_head, causal, tile, interpret, res, g):
 
 
 fused_flash_attention.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Relative-position-bias variant.
+#
+# The reference's prod config attends with a learned relative-position bias
+# (``/root/reference/commons/transformers/layers.py:13-35``: a (nq+nk+1, nh)
+# table indexed by q-k+nk) — which locked the prod config out of the fused
+# kernel (measured 82% of the prod step on the XLA pos-bias path). The bias
+# depends only on q-k, so a (tile, kv_chunk) block of logits needs one
+# Toeplitz block per *diagonal class* d = (row0-col0)/C. With tile == chunk
+# == C there are only O(T/C) classes: XLA pre-expands the table into a small
+# (nd, nh, C, C) bf16 tensor once per step, and each kernel program DMAs the
+# one class it needs via the BlockSpec index map (clamped for causally dead
+# chunks → no extra DMA, compute skipped).
+#
+# d(table) is the sum of d(logits) over diagonals. The dq kernel already
+# materializes ds per block; `_diag_reduce` folds each (C, C) block to its
+# 2C-1 diagonal sums in-kernel (log2(C) per-row binary rolls — no gather),
+# accumulating into a tiny (nd, nh, 2C) constant-index output that XLA
+# scatter-adds back into the table rows. HBM never sees a T^2 tensor.
+# ---------------------------------------------------------------------------
+
+
+def _bias_tile(t: int, tile: Optional[int]) -> int:
+    if tile is not None:
+        return tile
+    return min(256, _ceil_to(t, _LANE))
+
+
+def _expand_bias(table, nk: int, c_sz: int, nt: int, causal: bool, dtype):
+    """(L_table, nh) bias table -> (nd, nh, C, C) diagonal-class blocks.
+
+    Block d holds table[d_val*C + i - j + nk] for i, j in [0, C) where
+    d_val = d for causal grids (row-tile minus col-chunk is never negative)
+    and d - (nt-1) otherwise. Out-of-range indices are clamped — they only
+    occur at padded positions, which every kernel masks.
+    """
+    nd = nt if causal else 2 * nt - 1
+    d0 = 0 if causal else nt - 1
+    ar = jnp.arange(c_sz, dtype=jnp.int32)
+    rel = ar[:, None] - ar[None, :]  # (C, C) = i - j
+    d_vals = (jnp.arange(nd, dtype=jnp.int32) - d0) * c_sz
+    idx = d_vals[:, None, None] + rel[None] + jnp.int32(nk)
+    idx = jnp.clip(idx, 0, table.shape[0] - 1)
+    exp = jnp.take(table.T, idx, axis=1)  # (nh, nd, C, C)
+    return jnp.transpose(exp, (1, 0, 2, 3)).astype(dtype)
+
+
+def _dtable_from_diag(diag, nk: int, c_sz: int, nt: int, causal: bool, l_table: int):
+    """(nd, nh, W) in-kernel diagonal sums -> (L_table, nh) table gradient.
+
+    _diag_reduce writes out[d, h, a] = sum of ds over {i - j == C - 1 - a}
+    within class d, so the table row is l = d_val*C + (C-1-a) + nk.
+    """
+    nd, nh, w = diag.shape
+    d0 = 0 if causal else nt - 1
+    d_vals = (jnp.arange(nd, dtype=jnp.int32) - d0) * c_sz
+    a = jnp.arange(w, dtype=jnp.int32)
+    l = d_vals[:, None] + (jnp.int32(c_sz - 1) - a)[None, :] + jnp.int32(nk)
+    valid = (l >= 0) & (l < l_table)
+    l_c = jnp.clip(l, 0, l_table - 1).reshape(-1)
+    contrib = jnp.where(valid[..., None], jnp.transpose(diag, (0, 2, 1)), 0.0)
+    return jnp.zeros((l_table, nh), jnp.float32).at[l_c].add(contrib.reshape(-1, nh))
+
+
+def _pad_args_square(q, k, v, n_head: int, c_sz: int):
+    """Lane-pad to 128 and row-pad T to a multiple of C (tile == chunk)."""
+    b, t, qc = q.shape
+    hd = qc // n_head
+    kvh = 1 if k.shape[-1] == hd else n_head
+    t_pad = _ceil_to(max(t, c_sz), c_sz)
+    qc_pad = _ceil_to(qc, _LANE)
+    kc_pad = _ceil_to(k.shape[-1], _LANE)
+    q = jnp.pad(q, [(0, 0), (0, t_pad - t), (0, qc_pad - qc)])
+    k = jnp.pad(k, [(0, 0), (0, t_pad - t), (0, kc_pad - k.shape[-1])])
+    v = jnp.pad(v, [(0, 0), (0, t_pad - t), (0, kc_pad - v.shape[-1])])
+    return q, k, v, hd, kvh, t_pad, qc_pad, kc_pad
+
+
+def _bias_block(nh: int, c_sz: int, causal: bool, nt: int, kind: str):
+    """Bias block selected by diagonal class; clamped so causally-dead chunks
+    alias the resident block (no DMA — their compute is skipped)."""
+    # i32 constants must be built INSIDE the lambda: bare 0 weak-promotes to
+    # i64 (Mosaic rejects), and a hoisted jnp.int32(0) becomes a captured
+    # tracer (index maps must not close over constants)
+    if kind == "kv":  # fwd/dq kernels: rows = q tile i, cols = kv chunk ch
+        if causal:
+            index = lambda b, i, ch: (
+                jnp.maximum(i - ch, jnp.int32(0)),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            )
+        else:
+            index = lambda b, i, ch: (
+                i - ch + jnp.int32(nt - 1),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            )
+    else:  # 'q': dkv kernel: rows = q chunk ch, cols = key tile i
+        if causal:
+            index = lambda b, i, ch: (
+                jnp.maximum(ch - i, jnp.int32(0)),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            )
+        else:
+            index = lambda b, i, ch: (
+                ch - i + jnp.int32(nt - 1),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0),
+            )
+    return pl.BlockSpec((1, nh, c_sz, c_sz), index, memory_space=pltpu.VMEM)
+
+
+def _fused_bias_fwd_impl(q, k, v, bias_exp, n_head, causal, c_sz, interpret):
+    b, t, qc = q.shape
+    out_dtype = q.dtype
+    q, k, v, hd, kvh, t_pad, qc_pad, kc_pad = _pad_args_square(q, k, v, n_head, c_sz)
+    nt = t_pad // c_sz
+    lse_lanes = _ceil_to(n_head, _LANE)
+    cost = pl.CostEstimate(
+        flops=4 * n_head * t * t * hd // (2 if causal else 1),
+        bytes_accessed=q.size * q.dtype.itemsize * 2 + 2 * k.size * k.dtype.itemsize,
+        transcendentals=n_head * t * t,
+    )
+    kernel = functools.partial(
+        _fwd_kernel_grid, n_head=n_head, hd=hd, kvh=kvh, tile_q=c_sz,
+        kc_size=c_sz, n_chunks=nt, seq_len=t, causal=causal, has_bias=True,
+    )
+    o_pad, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, qc_pad), out_dtype),
+            jax.ShapeDtypeStruct((b, t_pad, lse_lanes), jnp.float32),
+        ),
+        grid=(b, nt, nt),
+        in_specs=[
+            _tile_block3(qc_pad, c_sz),
+            _chunk_block3(kc_pad, c_sz, c_sz, c_sz, causal, "kv"),
+            _chunk_block3(kc_pad, c_sz, c_sz, c_sz, causal, "kv"),
+            _bias_block(n_head, c_sz, causal, nt, "kv"),
+        ],
+        out_specs=(_tile_block3(qc_pad, c_sz), _tile_block3(lse_lanes, c_sz)),
+        scratch_shapes=[
+            pltpu.VMEM((c_sz, lse_lanes), jnp.float32),
+            pltpu.VMEM((c_sz, lse_lanes), jnp.float32),
+            pltpu.VMEM((c_sz, qc_pad), jnp.float32),
+        ],
+        compiler_params=_grid_params(),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(q, k, v, bias_exp)
+    return o_pad, lse, (q, k, v, hd, kvh, t_pad, qc_pad, kc_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def fused_flash_attention_bias(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias_table: jnp.ndarray,
+    n_head: int,
+    nk: int,
+    causal: bool = True,
+    tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Folded-head flash attention with a learned relative-position bias.
+
+    q: (B, T, n_head*hd); k, v: (B, T, hd) for MQA or (B, T, n_head*hd).
+    bias_table: (L, n_head) with the logit bias for q-k+nk == l (reference
+    ``commons/transformers/layers.py:13-35``); requires T-1 + nk < L.
+    Differentiable wrt q/k/v and the table. The table is applied at bf16
+    precision (the expanded per-diagonal blocks are stored bf16 to bound
+    their VMEM block footprint); logits still accumulate in f32.
+    """
+    out, _ = _bias_fwd_shared(q, k, v, bias_table, n_head, nk, causal, tile, interpret)
+    return out
+
+
+def _bias_fwd_shared(q, k, v, bias_table, n_head, nk, causal, tile, interpret):
+    interpret_ = _interpret_default(interpret)
+    b, t, qc = q.shape
+    c_sz = _bias_tile(t, tile)
+    nt = _ceil_to(max(t, c_sz), c_sz) // c_sz
+    bias_exp = _expand_bias(bias_table, nk, c_sz, nt, causal, jnp.bfloat16)
+    o_pad, lse, (qp, kp, vp, hd, kvh, t_pad, qc_pad, kc_pad) = _fused_bias_fwd_impl(
+        q, k, v, bias_exp, n_head, causal, c_sz, interpret_
+    )
+    from jax.ad_checkpoint import checkpoint_name
+
+    o_pad = checkpoint_name(o_pad, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
+    res = (qp, kp, vp, o_pad, lse, bias_exp, t, qc, k.shape[-1], hd, kvh,
+           c_sz, bias_table.shape[0])
+    return o_pad[:, :t, :qc], res
+
+
+def _fused_bias_vjp_fwd(q, k, v, bias_table, n_head, nk, causal, tile, interpret):
+    return _bias_fwd_shared(q, k, v, bias_table, n_head, nk, causal, tile, interpret)
+
+
+def _fused_bias_vjp_bwd(n_head, nk, causal, tile, interpret, res, g):
+    interpret_ = _interpret_default(interpret)
+    qp, kp, vp, o_pad, lse, bias_exp, t, qc, kc, hd, kvh, c_sz, l_table = res
+    b, t_pad, qc_pad = qp.shape
+    kc_pad = kp.shape[-1]
+    lse_lanes = lse.shape[-1]
+    nt = t_pad // c_sz
+    nd = bias_exp.shape[0]
+    w_diag = _ceil_to(2 * c_sz, _LANE)
+
+    g_pad = jnp.pad(g.astype(qp.dtype), [(0, 0), (0, t_pad - t), (0, qc_pad - qc)])
+    prod = (g_pad.astype(jnp.float32) * o_pad.astype(jnp.float32))[:, :, : n_head * hd]
+    dcol = prod.reshape(b, t_pad, n_head, hd).sum(-1)
+    dcol = jnp.pad(dcol, [(0, 0), (0, 0), (0, lse_lanes - n_head)])
+
+    dq_kernel = functools.partial(
+        _dq_kernel_grid, n_head=n_head, hd=hd, kvh=kvh, tile_q=c_sz,
+        kc_size=c_sz, n_chunks=nt, seq_len=t, causal=causal, has_bias=True,
+    )
+    dq_pad, dbias_diag = pl.pallas_call(
+        dq_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, qc_pad), qp.dtype),
+            jax.ShapeDtypeStruct((nd, n_head, w_diag), jnp.float32),
+        ),
+        grid=(b, nt, nt),
+        in_specs=[
+            _tile_block3(qc_pad, c_sz),
+            _chunk_block3(kc_pad, c_sz, c_sz, c_sz, causal, "kv"),
+            _chunk_block3(kc_pad, c_sz, c_sz, c_sz, causal, "kv"),
+            _tile_block3(qc_pad, c_sz),
+            _tile_block3(lse_lanes, c_sz),
+            _tile_block3(lse_lanes, c_sz),
+            _bias_block(n_head, c_sz, causal, nt, "kv"),
+        ],
+        out_specs=(
+            _tile_block3(qc_pad, c_sz),
+            pl.BlockSpec(
+                (nd, n_head, w_diag),
+                lambda b, i, ch: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[pltpu.VMEM((c_sz, qc_pad), jnp.float32)],
+        compiler_params=_grid_params(),
+        interpret=interpret_,
+    )(qp, kp, vp, g_pad, lse, dcol, bias_exp)
+
+    dkv_kernel = functools.partial(
+        _dkv_kernel_grid, n_head=n_head, hd=hd, kvh=kvh, tile_k=c_sz,
+        qc_size=c_sz, n_chunks=nt, seq_len=t, causal=causal, has_bias=True,
+    )
+    dk_pad, dv_pad = pl.pallas_call(
+        dkv_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, kc_pad), kp.dtype),
+            jax.ShapeDtypeStruct((b, t_pad, kc_pad), vp.dtype),
+        ),
+        grid=(b, nt, nt),
+        in_specs=[
+            _chunk_block3(qc_pad, c_sz, c_sz, c_sz, causal, "q"),
+            _tile_block3(kc_pad, c_sz),
+            _tile_block3(kc_pad, c_sz),
+            _chunk_block3(qc_pad, c_sz, c_sz, c_sz, causal, "q"),
+            _chunk_block3(lse_lanes, c_sz, c_sz, c_sz, causal, "q"),
+            _chunk_block3(lse_lanes, c_sz, c_sz, c_sz, causal, "q"),
+            _bias_block(n_head, c_sz, causal, nt, "q"),
+        ],
+        out_specs=(_tile_block3(kc_pad, c_sz), _tile_block3(kc_pad, c_sz)),
+        scratch_shapes=[
+            pltpu.VMEM((c_sz, kc_pad), jnp.float32),
+            pltpu.VMEM((c_sz, kc_pad), jnp.float32),
+        ],
+        compiler_params=_grid_params(),
+        interpret=interpret_,
+    )(qp, kp, vp, g_pad, lse, dcol, bias_exp)
+
+    dtable = _dtable_from_diag(dbias_diag, nk, c_sz, nt, causal, l_table)
+    return (
+        dq_pad[:, :t, :qc],
+        dk_pad[:, :t, :kc],
+        dv_pad[:, :t, :kc],
+        dtable,
+    )
+
+
+fused_flash_attention_bias.defvjp(_fused_bias_vjp_fwd, _fused_bias_vjp_bwd)

@@ -37,6 +37,14 @@ The all-to-all buffers are static-shape: per-destination capacity is
 xxhash-uniform over shards, so overflow probability decays exponentially);
 requests past capacity are dropped to zero embeddings and counted in the
 ``overflow`` output so callers can alarm on it.
+
+Sizing rule: with R unique requested rows spread uniformly over P shards,
+per-shard load is ~Binomial(R, 1/P); capacity_factor=2.0 keeps the
+overflow probability under ~exp(-R/(3P)) (Chernoff), i.e. negligible once
+R/P > 50.  ``ShardedKShiftEmbedding`` sows the global overflow count into
+the 'intermediates' collection as ``alltoall_overflow`` and the LTHM
+train step reports it as the ``embedding_alltoall_overflow`` metric —
+alarm on any sustained nonzero value and raise capacity_factor.
 """
 
 from __future__ import annotations
@@ -253,6 +261,14 @@ def _unique_alltoall_gather(
     return jnp.take(out_sorted, inv, axis=0).astype(jnp.float32), overflow
 
 
+def _global_overflow(overflow, mesh: Mesh, axis_name: str, data_axis: str):
+    """Reduce a per-device overflow count to the replicated global total."""
+    axes = [axis_name]
+    if data_axis in mesh.shape and mesh.shape[data_axis] > 1:
+        axes.append(data_axis)
+    return jax.lax.psum(overflow.astype(jnp.float32), tuple(axes))
+
+
 def _token_chunk(ids_flat: jnp.ndarray, axis_name: str, n_shards: int):
     """Split the (replicated-over-model) token stream across the model group.
 
@@ -281,8 +297,13 @@ def alltoall_kshift_lookup(
     normalize_output: bool = False,
     compute_dtype: Optional[jnp.dtype] = None,
     capacity_factor: float = 2.0,
-) -> jnp.ndarray:
+    return_overflow: bool = False,
+):
     """KShift lookup via the unique-ID all-to-all schedule.
+
+    With ``return_overflow`` the second output is the GLOBAL count of unique
+    row requests dropped by the static all-to-all capacity (psum over the
+    mesh) — silent zero embeddings otherwise, so surface it as a metric.
 
     Numerically identical to :func:`sharded_kshift_lookup` (same rotated-hash
     row indices, same scaling); only the collective schedule differs: tokens
@@ -303,7 +324,7 @@ def alltoall_kshift_lookup(
         mine, t_pad = _token_chunk(ids_local.reshape(-1), axis_name, n_shards)
         idx = kshift_row_indices(mine, num_embeddings, num_shifts)  # (chunk, k)
         capacity = resolve_capacity(int(jnp.size(idx)), n_shards, capacity_factor)
-        rows, _ = _unique_alltoall_gather(
+        rows, overflow = _unique_alltoall_gather(
             table_shard,
             idx.reshape(-1),
             axis_name=axis_name,
@@ -321,16 +342,21 @@ def alltoall_kshift_lookup(
             out = jax.lax.all_gather(partial, axis_name, axis=0, tiled=True)
         else:
             out = partial
-        return out[:t].reshape(*shape, -1)
+        return out[:t].reshape(*shape, -1), _global_overflow(
+            overflow, mesh, axis_name, data_axis
+        )
 
     extra = ids.ndim - 1
-    return jax.shard_map(
+    out, overflow = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(axis_name, None), P(data_axis, *([None] * extra))),
-        out_specs=P(data_axis, *([None] * extra), None),
+        out_specs=(P(data_axis, *([None] * extra), None), P()),
         check_vma=False,
     )(table, ids)
+    if return_overflow:
+        return out, overflow
+    return out
 
 
 def alltoall_embedding_lookup(
@@ -342,7 +368,8 @@ def alltoall_embedding_lookup(
     data_axis: str = "data",
     compute_dtype: Optional[jnp.dtype] = None,
     capacity_factor: float = 2.0,
-) -> jnp.ndarray:
+    return_overflow: bool = False,
+):
     """Plain row-sharded gather (table[id mod P]) via unique-ID all-to-all."""
     num_embeddings = table.shape[0]
     n_shards = mesh.shape[axis_name]
@@ -355,7 +382,7 @@ def alltoall_embedding_lookup(
         mine, t_pad = _token_chunk(ids_local.reshape(-1), axis_name, n_shards)
         idx = jnp.mod(mine.astype(jnp.int64), num_embeddings)
         capacity = resolve_capacity(idx.shape[0], n_shards, capacity_factor)
-        rows, _ = _unique_alltoall_gather(
+        rows, overflow = _unique_alltoall_gather(
             table_shard,
             idx,
             axis_name=axis_name,
@@ -368,16 +395,21 @@ def alltoall_embedding_lookup(
             out = jax.lax.all_gather(rows, axis_name, axis=0, tiled=True)
         else:
             out = rows
-        return out[:t].reshape(*shape, -1)
+        return out[:t].reshape(*shape, -1), _global_overflow(
+            overflow, mesh, axis_name, data_axis
+        )
 
     extra = ids.ndim - 1
-    return jax.shard_map(
+    out, overflow = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(axis_name, None), P(data_axis, *([None] * extra))),
-        out_specs=P(data_axis, *([None] * extra), None),
+        out_specs=(P(data_axis, *([None] * extra), None), P()),
         check_vma=False,
     )(table, ids)
+    if return_overflow:
+        return out, overflow
+    return out
 
 
 class ShardedKShiftEmbedding(nn.Module):
@@ -414,7 +446,7 @@ class ShardedKShiftEmbedding(nn.Module):
             self.param_dtype,
         )
         if self.schedule == "alltoall":
-            return alltoall_kshift_lookup(
+            out, overflow = alltoall_kshift_lookup(
                 table,
                 ids,
                 self.mesh,
@@ -424,7 +456,13 @@ class ShardedKShiftEmbedding(nn.Module):
                 normalize_output=self.normalize_output,
                 compute_dtype=self.compute_dtype,
                 capacity_factor=self.capacity_factor,
+                return_overflow=True,
             )
+            # surfaced by the train step as embedding_alltoall_overflow; a
+            # sustained nonzero count means silent zero embeddings — raise
+            # capacity_factor (sizing rule in the module docstring)
+            self.sow("intermediates", "alltoall_overflow", overflow)
+            return out
         return sharded_kshift_lookup(
             table,
             ids,

@@ -161,6 +161,9 @@ class TrainerPipeline:
             return EvalResult(knn_eval_result=df)
         except Exception:
             logger.exception("knn eval failed")
+            ev = self.pipeline_config.eval
+            if ev is not None and getattr(ev, "fail_on_eval_error", False):
+                raise
             return None
 
     # -- export ----------------------------------------------------------------

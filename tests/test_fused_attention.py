@@ -177,3 +177,35 @@ def test_fused_grad_of_mean_pooled_output():
     want = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_grid_path_seq1024_wide_chunk():
+    """t_pad=1024 is the padding tie between 256- and 512-wide KV chunks;
+    the tie-break selects the 512-wide chunk, a path no other test reaches
+    after the adaptive chunk-width change (ADVICE r2)."""
+    from recommendations_tpu.ops.fused_attention import _pad_args
+
+    b, t, n_head, hd = 1, 1024, 2, 16
+    q, k, v = _make(b, t, n_head, hd, 1, seed=41)
+    # guard: default tiling must actually resolve to the wide chunk
+    *_, kc_size = _pad_args(q, k, v, n_head, 256)
+    assert kc_size == 512, f"tie-break regressed: kc={kc_size}"
+    cot = jax.random.normal(jax.random.PRNGKey(42), q.shape, jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_flash_attention(q, k, v, n_head, True, None, True) * cot)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense_folded(q, k, v, n_head, True) * cot)
+
+    got_o = fused_flash_attention(q, k, v, n_head, True, None, True)
+    want_o = _dense_folded(q, k, v, n_head, True)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o), rtol=2e-4, atol=2e-4)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad mismatch for {name}",
+        )

