@@ -63,6 +63,13 @@ class DataStoreInterface(abc.ABC):
     def upload_dir_recursive(self, local_directory: str, folder: str) -> None:
         ...
 
+    def parquet_num_rows(self, path: str) -> Optional[int]:
+        """Row count from parquet metadata WITHOUT reading the data, or None
+        if the store cannot answer cheaply. Powers O(1) mid-epoch resume:
+        the generator skips already-consumed chunks by metadata instead of
+        re-reading and re-transforming them (VERDICT r2 #5)."""
+        return None
+
     @staticmethod
     def _is_data_file(name: str) -> bool:
         base = os.path.basename(name)
@@ -101,6 +108,14 @@ class LocalDataStore(DataStoreInterface):
             return pd.read_parquet(path, columns=columns)
         except Exception:
             logger.exception("failed reading %s", path)
+            return None
+
+    def parquet_num_rows(self, path):
+        try:
+            import pyarrow.parquet as pq
+
+            return int(pq.read_metadata(path).num_rows)
+        except Exception:
             return None
 
     def get_file_from_path(self, path: str) -> bytes:
@@ -223,6 +238,10 @@ class FakeDataStore(DataStoreInterface):
         if df is None:
             return None
         return df[columns] if columns else df.copy()
+
+    def parquet_num_rows(self, path):
+        df = self._tables.get(path)
+        return None if df is None else int(df.shape[0])
 
     def get_file_from_path(self, path: str) -> bytes:
         return self._files[path]

@@ -137,6 +137,23 @@ class GroupedBatchDataset:
         self._macro_batches = max(1, macro_batches)
         self._seed = seed
 
+    def request_skip(self, batches: int) -> bool:
+        """Ask the upstream generator to fast-forward ``batches`` worth of
+        rows in O(1) (metadata-based). Valid only when the row stream is a
+        pure FIFO of generator rows: no session grouping (group filters
+        change row counts) and no shuffle buffer (its window mixes rows
+        across the cursor). Returns False when the caller must replay
+        batches instead."""
+        if self._group is not None and self._group.group_by_columns:
+            return False
+        if self._shuffle_buffer_batches:
+            return False
+        gen = self._gen
+        if not hasattr(gen, "set_skip_rows"):
+            return False
+        gen.set_skip_rows(batches * self._batch_size)
+        return True
+
     def _iter_rows(self) -> Iterator[pd.DataFrame]:
         for df in self._gen:
             if self._group is None or not self._group.group_by_columns:

@@ -37,6 +37,8 @@ class HostDataLoader:
     def __init__(self, dataset: GroupedBatchDataset, max_prefetch: int = 2):
         self._dataset = dataset
         self._max_prefetch = max(1, max_prefetch)
+        # set by get_host_dataloader when an O(1) row-skip resume was applied
+        self.skip_applied = False
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         q: "queue.Queue" = queue.Queue(maxsize=self._max_prefetch)
@@ -96,6 +98,7 @@ def get_host_dataloader(
     features_config: FeaturesConfig,
     fs_config: FileSystemConfig,
     drop_remainder: bool = True,
+    skip_batches: int = 0,
 ):
     """Assemble generator → grouper/batcher → prefetching loader
     (mirrors reference ``get_torch_dataloader``, ``data/__init__.py:24-65``).
@@ -105,8 +108,19 @@ def get_host_dataloader(
     the val/inference order must be stable for cached-eval comparability);
     ``bypass_dataloader`` returns the dataset without the prefetch thread
     (reference returns the raw IterableDataset, ``data/__init__.py:48-54``).
+
+    ``skip_batches``: request an O(1) fast-forward past already-consumed
+    batches (mid-epoch resume). When the pipeline supports row skipping
+    (no session grouping, no shuffle buffer) the generator jumps by parquet
+    metadata; ``loader.skip_applied`` reports whether it took effect so the
+    caller can fall back to read-and-discard replay.
     """
-    generator = data_loader_strategy.load(kind, worker_id, paths, fs_config)
+    generator = data_loader_strategy.load(
+        kind, worker_id, paths, fs_config,
+        # decorrelate hosts/kinds; deterministic per (host, run) so resume
+        # sees the identical file order and per-chunk shuffles
+        seed=1_000_003 * worker_id + (29 if kind == "train" else 31),
+    )
     dl_cfg: DataLoaderConfig = data_loader_strategy.data_loader_config
     is_train = kind == "train"
     dataset = GroupedBatchDataset(
@@ -123,6 +137,9 @@ def get_host_dataloader(
         # decorrelate hosts; deterministic per (host, run)
         seed=1_000_003 * worker_id + 17,
     )
+    skip_applied = bool(skip_batches) and dataset.request_skip(skip_batches)
     if dl_cfg.bypass_dataloader:
         return dataset
-    return HostDataLoader(dataset, max_prefetch=dl_cfg.max_prefetch)
+    loader = HostDataLoader(dataset, max_prefetch=dl_cfg.max_prefetch)
+    loader.skip_applied = skip_applied
+    return loader

@@ -226,7 +226,7 @@ class PjitTrainingStrategy(TrainingStrategy):
         host_train_paths = get_paths_for_worker(host_id, train_data_paths, n_hosts)
         host_val_paths = get_paths_for_worker(host_id, val_data_paths, n_hosts) if val_data_paths else []
 
-        def make_loader(kind: str, paths: List[str], limit=None):
+        def make_loader(kind: str, paths: List[str], limit=None, skip_batches=0):
             return get_host_dataloader(
                 kind=kind,
                 worker_id=host_id,
@@ -236,6 +236,7 @@ class PjitTrainingStrategy(TrainingStrategy):
                 data_loader_strategy=data_loader_strategy,
                 features_config=features,
                 fs_config=fs,
+                skip_batches=skip_batches,
             )
 
         # example batch for init (variables built once, reused for optimizer
@@ -309,21 +310,31 @@ class PjitTrainingStrategy(TrainingStrategy):
         for epoch in range(train_cfg.epochs):
             if stop_all:
                 break
-            it = iter(make_loader("train", host_train_paths))
+            want_skip = resume_batches if epoch == resume_epoch else 0
+            loader = make_loader("train", host_train_paths, skip_batches=want_skip)
+            it = iter(loader)
             batches_in_epoch = 0
             if epoch == resume_epoch and resume_batches > 0:
-                # fast-forward the host iterator to the checkpointed position
-                # (host IO only; device state was restored from the checkpoint)
-                for _ in range(resume_batches):
-                    try:
-                        next(it)
-                    except StopIteration:
-                        break
+                if getattr(loader, "skip_applied", False):
+                    # O(1) resume: the generator jumped past consumed chunks
+                    # by parquet metadata (no re-read, no re-transform)
+                    logger.info(
+                        "seeked data iterator to epoch %d batch %d (metadata skip)",
+                        epoch, resume_batches,
+                    )
+                else:
+                    # grouped / shuffle-buffered pipelines: replay-and-discard
+                    # (row counts downstream of grouping are data-dependent)
+                    for _ in range(resume_batches):
+                        try:
+                            next(it)
+                        except StopIteration:
+                            break
+                    logger.info(
+                        "fast-forwarded data iterator to epoch %d batch %d (replay)",
+                        epoch, resume_batches,
+                    )
                 batches_in_epoch = resume_batches
-                logger.info(
-                    "fast-forwarded data iterator to epoch %d batch %d",
-                    epoch, resume_batches,
-                )
             elif epoch < resume_epoch:
                 continue
 

@@ -175,3 +175,82 @@ def test_val_loader_ignores_shuffle_buffer():
     )
     first = next(iter(loader))["x"]
     np.testing.assert_allclose(first, np.arange(8.0))
+
+
+def _seed_many_files(n_files=6, rows=32):
+    FakeDataStore.reset()
+    paths = []
+    for i in range(n_files):
+        df = pd.DataFrame({"x": np.arange(rows, dtype=np.float64) + 1000 * i})
+        p = f"tbl/date=20240101/f{i}.parquet"
+        FakeDataStore.put_table(p, df)
+        paths.append(p)
+    return paths
+
+
+def test_o1_resume_skip_matches_replay_under_shuffle():
+    """O(1) metadata skip (VERDICT r2 #5): with shuffle_files=True AND
+    max_readers=2 AND per-chunk shuffle_data, a loader built with
+    skip_batches=k must produce exactly the batches a fresh loader produces
+    after discarding k — the seeded generator makes the stream reproducible
+    and the parquet-metadata jump lands on the same row."""
+    paths = _seed_many_files()
+    dl_cfg = DataLoaderConfig(
+        kind="simple", block_size=2, shuffle_files=True, shuffle_data=True,
+        max_readers=2,
+    )
+    feats = _x_features()
+    strategy = get_data_loader_strategy(dl_cfg, ["x"], lambda kind: (lambda df: df))
+
+    def build(skip):
+        return get_host_dataloader(
+            "train", 0, list(paths), batch_size=8, num_steps=None,
+            data_loader_strategy=strategy, features_config=feats,
+            fs_config=_fs(), skip_batches=skip,
+        )
+
+    full = [b["x"] for b in build(0)]
+    assert len(full) >= 10
+    k = 7
+    skipped_loader = build(k)
+    assert skipped_loader.skip_applied
+    skipped = [b["x"] for b in skipped_loader]
+    assert len(skipped) == len(full) - k
+    for a, b in zip(full[k:], skipped):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_o1_resume_skip_refused_with_shuffle_buffer():
+    """The shuffle-buffer window mixes rows across the cursor, so request_skip
+    must refuse and the caller falls back to replay."""
+    paths = _seed_many_files()
+    dl_cfg = DataLoaderConfig(
+        kind="simple", block_size=2, shuffle_files=False,
+        shuffle_buffer_num_mini_batches=2,
+    )
+    strategy = get_data_loader_strategy(dl_cfg, ["x"], lambda kind: (lambda df: df))
+    loader = get_host_dataloader(
+        "train", 0, list(paths), batch_size=8, num_steps=None,
+        data_loader_strategy=strategy, features_config=_x_features(),
+        fs_config=_fs(), skip_batches=3,
+    )
+    assert not loader.skip_applied
+
+
+def test_generator_seeded_reproducible_with_threads():
+    """shuffle_files order + chunk assembly must reproduce across runs when
+    seeded, even with a thread-pool reader (pool.map preserves submission
+    order) — the property both resume modes rely on (VERDICT r2 weak #6)."""
+    paths = _seed_many_files()
+    dl_cfg = DataLoaderConfig(
+        kind="simple", block_size=2, shuffle_files=True, shuffle_data=True,
+        max_readers=3,
+    )
+    strategy = get_data_loader_strategy(dl_cfg, ["x"], lambda kind: (lambda df: df))
+    runs = []
+    for _ in range(2):
+        gen = strategy.load("train", 0, list(paths), _fs(), seed=123)
+        runs.append([np.asarray(df["x"]) for df in gen])
+    assert len(runs[0]) == len(runs[1]) and len(runs[0]) > 1
+    for a, b in zip(runs[0], runs[1]):
+        np.testing.assert_array_equal(a, b)

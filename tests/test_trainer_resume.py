@@ -39,7 +39,7 @@ def _seed_store(num_files=4):
             FakeDataStore.put_table(f"clicks/date={date}/part-{p}.parquet", df)
 
 
-def _pipeline_config(tmp_path, train_steps, ckpt_every=3):
+def _pipeline_config(tmp_path, train_steps, ckpt_every=3, shuffle=False):
     model = {
         "kind": "lthm",
         "name": "lthm",
@@ -120,7 +120,11 @@ def _pipeline_config(tmp_path, train_steps, ckpt_every=3):
             "validation_steps": 0,
             "checkpoint_every_k_steps": ckpt_every,
         },
-        data_loader={"kind": "simple", "block_size": 2, "shuffle_files": False},
+        data_loader={
+            "kind": "simple", "block_size": 2,
+            "shuffle_files": shuffle, "shuffle_data": shuffle,
+            "max_readers": 2 if shuffle else 1,
+        },
         eval={"skip_eval": True},
         inference={"skip_inference": True},
         export=None,
@@ -181,3 +185,26 @@ def test_trainer_pipeline_fresh_run_no_checkpoint_dir(tmp_path):
     cfg.checkpoint_dir = None
     m = _run(cfg)
     assert m["train_steps_total"] == 4
+
+
+def test_trainer_resume_o1_skip_under_shuffle(tmp_path, caplog):
+    """Resume with shuffle_files=True + max_readers=2 (VERDICT r2 #5): the
+    LTHM pipeline has no grouping/shuffle-buffer, so the restart takes the
+    O(1) metadata-skip path — and with the now-seeded generator the stream
+    is reproducible, so the resumed run completes its exact step budget."""
+    _seed_store()
+    cfg1 = _pipeline_config(tmp_path, train_steps=6, shuffle=True)
+    m1 = _run(cfg1)
+    assert m1["train_steps_total"] == 6
+
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="recommendations_tpu.train.strategy"):
+        cfg2 = _pipeline_config(tmp_path, train_steps=12, shuffle=True)
+        m2 = _run(cfg2)
+    assert m2["train_steps_total"] == 12
+    assert np.isfinite(m2.get("loss", m2.get("total_loss", 0.0)))
+    # it must have used the metadata-skip path, not replay
+    assert any("metadata skip" in r.message for r in caplog.records), [
+        r.message for r in caplog.records
+    ]
