@@ -14,7 +14,7 @@ them all to ``BENCH_SUITE.json``:
   (parquet → pandas → feature transforms → device), via the real
   TrainerPipeline on a bench-scaled lthm_train.yaml.
 
-Usage: python bench_suite.py [ranker|lthm_10m|lthm_seq1024|loader_e2e|all]
+Usage: python bench_suite.py [ranker|lthm_10m|lthm_seq1024|lthm_prod|loader_e2e|all]
 """
 
 from __future__ import annotations
@@ -212,6 +212,51 @@ def bench_lthm_seq1024(on_tpu):
     }
 
 
+def bench_lthm_prod(on_tpu):
+    """The UNMODIFIED prod scale point (configs/lthm_train.yaml + model/lthm.yaml):
+    16 layers, d=512, MQA-32, history 768 -> context 512 (+CLS), learned
+    rel-pos bias (window 513) on the fused flash kernel, 10M-row KShift,
+    logQ 2^24, remat dots_no_batch, batch 64 — device-resident examples/s
+    (VERDICT r2 #1's 'record an lthm_prod rung')."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from recommendations_tpu.config.yaml_loader import load_config
+    from recommendations_tpu.core.mesh import MeshConfig, build_mesh
+
+    overrides = {"checkpoint_dir": None, "trackers": {"trackers": []}}
+    if not on_tpu:
+        overrides["model"] = {
+            "context_width": 16,
+            "transformer_config": {"num_layers": 2,
+                                   "attn_config": {"pos_bias": {"context_window": 17}}},
+            "product_tower": {"latent_model_config": {"vocab_size_latent": 100_000}},
+            "log_q_config": {"num_buckets": 1024, "hash_offsets": [0, 7]},
+            "train_mini_batch_size": 8,
+        }
+        overrides["train"] = {"batch_size": 8}
+    cfg = load_config(
+        os.path.join(REPO, "configs", "lthm_train.yaml"), overrides=overrides
+    )
+    wrapper = cfg.model.get_builder(None).build()
+    batch = cfg.train.batch_size
+    hist = 768 if on_tpu else 24
+    host_batch = _lthm_host_batch(batch, hist - 8)
+    mesh = build_mesh(MeshConfig(data=-1))
+    example = {k: np.asarray(v) for k, v in host_batch.items()}
+    state, optimizer = _make_state(wrapper, example, cfg.train)
+    state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+    dbatch = _device_batch(host_batch, mesh)
+    train_step = _train_step_fn(wrapper, optimizer)
+    steps = 20 if on_tpu else 2
+    elapsed = _timed_steps(train_step, state, dbatch, steps)
+    v = steps * batch / elapsed / len(jax.devices())
+    return {
+        "metric": "lthm_prod_train_examples_per_sec_per_chip",
+        "value": round(v, 2), "unit": "examples/s/chip",
+    }
+
+
 def bench_ranker(on_tpu):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec
@@ -364,6 +409,7 @@ BENCHES = {
     "ranker": bench_ranker,
     "lthm_10m": bench_lthm_10m,
     "lthm_seq1024": bench_lthm_seq1024,
+    "lthm_prod": bench_lthm_prod,
     "loader_e2e": bench_loader_e2e,
 }
 

@@ -35,7 +35,7 @@ logger = logging.getLogger("main_training")
 CONFIG_ROOT = Path(__file__).parent / "configs"
 
 
-def execute_pipeline(cfg) -> dict:
+def execute_pipeline(cfg, return_pipeline: bool = False):
     stats = None
     if getattr(cfg, "stats", None) is not None and cfg.stats.compute_stats:
         from recommendations_tpu.data.paths import get_train_data_paths
@@ -55,7 +55,10 @@ def execute_pipeline(cfg) -> dict:
         training_strategy=training_strategy,
         data_loader_strategy=data_loader_strategy,
     )
-    return pipeline.execute()
+    metrics = pipeline.execute()
+    if return_pipeline:
+        return pipeline, metrics
+    return metrics
 
 
 def main(argv=None) -> int:

@@ -173,9 +173,11 @@ class _AttentionBase(nn.Module):
             return False
         if seq_len > self.pos_bias_window:
             return False
-        from recommendations_tpu.ops.fused_attention import fused_flash_recommended
+        from recommendations_tpu.ops.fused_attention import (
+            fused_flash_bias_recommended,
+        )
 
-        return fused_flash_recommended(seq_len)
+        return fused_flash_bias_recommended(seq_len)
 
     def _ring_eligible(self, mask, causal: bool) -> bool:
         if not self.use_ring or self.mesh is None:
@@ -209,6 +211,16 @@ class _AttentionBase(nn.Module):
                 reasons.append(
                     f"seq {seq_len} exceeds the pos-bias window {self.pos_bias_window}"
                 )
+            if self.pos_bias_window is not None:
+                from recommendations_tpu.ops.fused_attention import (
+                    fused_flash_bias_recommended,
+                )
+
+                if not fused_flash_bias_recommended(seq_len):
+                    reasons.append(
+                        f"seq {seq_len} outside the fused pos-bias kernel's "
+                        "winning range (measured crossover ~768)"
+                    )
             if not fused_flash_recommended(seq_len):
                 reasons.append(f"seq {seq_len} above the fused-kernel bound")
             _warn_once(

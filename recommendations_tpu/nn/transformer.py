@@ -35,6 +35,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+def _flash_bias_ok(seq_len: int) -> bool:
+    from recommendations_tpu.ops.fused_attention import fused_flash_bias_recommended
+
+    return fused_flash_bias_recommended(seq_len)
+
+
 from recommendations_tpu.nn.attention import (
     MultiHeadAttention,
     MultiQueryAttention,
@@ -242,8 +248,12 @@ class TransformerBlock(nn.Module):
             and (
                 self.pos_bias_window is None
                 # the fused kernel applies the relative-position bias
-                # in-kernel when the table covers the sequence
-                or x.shape[1] <= self.pos_bias_window
+                # in-kernel when the table covers the sequence AND the
+                # length is in the kernel's measured winning range
+                or (
+                    x.shape[1] <= self.pos_bias_window
+                    and _flash_bias_ok(x.shape[1])
+                )
             )
         )
         if self.is_causal and not flash_ok:

@@ -91,6 +91,24 @@ def fused_flash_recommended(seq_len: int) -> bool:
     return seq_len <= RECOMMENDED_MAX_SEQ
 
 
+# With the relative-position bias the fused path carries extra per-program
+# work (bias block DMA + per-head adds + the in-kernel dbias diagonal
+# reduction), and XLA's fused pos-bias attention is strong at short
+# sequences. Honest chained-step measurements (4-layer remat stack, MQA-32
+# d=512, device-fetch barrier, v5e): per layer fwd+bwd
+#   seq  513: fused 16.4 ms vs XLA 13.2  -> XLA wins
+#   seq 1025: fused 23.5 ms vs XLA 46.5  -> fused 2.0x
+#   seq 2049: fused 38.7 ms vs XLA 152.0 -> fused 3.9x
+# The crossover sits between 513 and 1025; the threshold keeps short-seq
+# configs on XLA and long-context ones on the linear-HBM kernel.
+BIAS_MIN_SEQ = 768
+
+
+def fused_flash_bias_recommended(seq_len: int) -> bool:
+    """Whether the fused POS-BIAS kernel beats the XLA pos-bias path."""
+    return BIAS_MIN_SEQ <= seq_len <= RECOMMENDED_MAX_SEQ
+
+
 def _chunk_mask(rows: int, cols: int, row0, col0, seq_len: int, causal: bool):
     q_pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     k_pos = col0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
@@ -340,11 +358,29 @@ def _bwd_fused_kernel(
 # ---------------------------------------------------------------------------
 
 
+def _bias_lookup(bias_ref, bias_mode, i, c, n_tiles, causal):
+    """head -> (rows, cols) f32 bias tile for the current grid position.
+
+    'resident': the whole (nd, nh, C, C) expansion lives in VMEM (constant
+    index map — one DMA for the entire grid); the diagonal class is indexed
+    in-kernel. 'block': one class block DMA'd per program via the BlockSpec
+    index map (the fallback when the expansion exceeds the VMEM budget)."""
+    if bias_ref is None:
+        return None
+    if bias_mode == "resident":
+        if causal:
+            dcls = jnp.maximum(i - c, 0)
+        else:
+            dcls = i - c + jnp.int32(n_tiles - 1)
+        return lambda h: bias_ref[dcls, h].astype(jnp.float32)
+    return lambda h: bias_ref[0, h].astype(jnp.float32)
+
+
 def _fwd_kernel_grid(
     q_ref, k_ref, v_ref, *rest,
-    n_head, hd, kvh, tile_q, kc_size, n_chunks, seq_len, causal, has_bias=False,
+    n_head, hd, kvh, tile_q, kc_size, n_chunks, seq_len, causal, bias_mode=None,
 ):
-    if has_bias:
+    if bias_mode is not None:
         bias_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     else:
         o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
@@ -354,6 +390,7 @@ def _fwd_kernel_grid(
     scale = jnp.float32(1.0 / math.sqrt(hd))
     row0 = i * jnp.int32(tile_q)
     c0 = c * jnp.int32(kc_size)
+    bias_at = _bias_lookup(bias_ref, bias_mode, i, c, n_chunks, causal)
 
     @pl.when(c == 0)
     def _():
@@ -367,6 +404,9 @@ def _fwd_kernel_grid(
 
     @pl.when(live)
     def _():
+        # mask is head-independent: build ONCE per program (a per-head
+        # rebuild cost ~6 VPU ops x tile x 32 heads — measured material)
+        mask = _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
         for h in range(n_head):
             sl = slice(h * hd, (h + 1) * hd)
             ksl = slice(0, hd) if kvh == 1 else sl
@@ -374,9 +414,8 @@ def _fwd_kernel_grid(
             kc = k_ref[0][:, ksl]
             vc = v_ref[0][:, ksl]
             s = _mm(qh, kc, ((1,), (1,))) * scale
-            if bias_ref is not None:
-                s = s + bias_ref[0, h].astype(jnp.float32)
-            mask = _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
+            if bias_at is not None:
+                s = s + bias_at(h)
             s = jnp.where(mask, s, jnp.float32(NEG_INF))
             m_prev = m_scr[:, h : h + 1]
             l_prev = l_scr[:, h : h + 1]
@@ -415,6 +454,7 @@ def _diag_reduce(ds, rows: int, w: int):
     """
     cols = ds.shape[1]
     buf = jnp.concatenate([ds, jnp.zeros((rows, w - cols), ds.dtype)], axis=1)
+    # (column sum below accumulates in f32 even for bf16 input)
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
     shift_amt = jnp.int32(rows - 1) - row_idx  # roll row i right by rows-1-i
     for bit in range(max(1, (rows - 1).bit_length())):
@@ -423,14 +463,14 @@ def _diag_reduce(ds, rows: int, w: int):
         rolled = pltpu.roll(buf, jnp.int32(1 << bit), axis=1)
         take = ((shift_amt >> jnp.int32(bit)) & jnp.int32(1)) == jnp.int32(1)
         buf = jnp.where(take, rolled, buf)
-    return jnp.sum(buf, axis=0, keepdims=True)
+    return jnp.sum(buf.astype(jnp.float32), axis=0, keepdims=True)
 
 
 def _dq_kernel_grid(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dcol_ref, *rest,
-    n_head, hd, kvh, tile_q, kc_size, n_chunks, seq_len, causal, has_bias=False,
+    n_head, hd, kvh, tile_q, kc_size, n_chunks, seq_len, causal, bias_mode=None,
 ):
-    if has_bias:
+    if bias_mode is not None:
         bias_ref, dq_ref, dbias_ref, dq_scr = rest
     else:
         dq_ref, dq_scr = rest
@@ -441,6 +481,7 @@ def _dq_kernel_grid(
     scale = jnp.float32(1.0 / math.sqrt(hd))
     row0 = i * jnp.int32(tile_q)
     c0 = c * jnp.int32(kc_size)
+    bias_at = _bias_lookup(bias_ref, bias_mode, i, c, n_chunks, causal)
 
     @pl.when(c == 0)
     def _():
@@ -462,6 +503,7 @@ def _dq_kernel_grid(
 
     @pl.when(live)
     def _():
+        mask = _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
         for h in range(n_head):
             sl = slice(h * hd, (h + 1) * hd)
             ksl = slice(0, hd) if kvh == 1 else sl
@@ -469,9 +511,8 @@ def _dq_kernel_grid(
             kc = k_ref[0][:, ksl]
             vc = v_ref[0][:, ksl]
             s = _mm(qh, kc, ((1,), (1,))) * scale
-            if bias_ref is not None:
-                s = s + bias_ref[0, h].astype(jnp.float32)
-            mask = _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
+            if bias_at is not None:
+                s = s + bias_at(h)
             p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, h : h + 1]), jnp.float32(0.0))
             dp = _mm(do_ref[0][:, sl], vc, ((1,), (1,)))
             ds = p * (dp - dcol_ref[0][:, h : h + 1])
@@ -479,7 +520,8 @@ def _dq_kernel_grid(
             if dbias_ref is not None:
                 # d(table) = ds summed over diagonals (bias enters the
                 # logits additively); accumulate the per-diagonal sums of
-                # this block into its diagonal class
+                # this block into its diagonal class. (f32 rolls: Mosaic's
+                # dynamic_rotate has no sub-32-bit support.)
                 diag = _diag_reduce(ds, tile_q, dbias_ref.shape[-1])
                 dbias_ref[dcls, h : h + 1, :] = dbias_ref[dcls, h : h + 1, :] + diag
 
@@ -490,9 +532,9 @@ def _dq_kernel_grid(
 
 def _dkv_kernel_grid(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dcol_ref, *rest,
-    n_head, hd, kvh, tile_k, qc_size, n_chunks, seq_len, causal, has_bias=False,
+    n_head, hd, kvh, tile_k, qc_size, n_chunks, seq_len, causal, bias_mode=None,
 ):
-    if has_bias:
+    if bias_mode is not None:
         bias_ref, dk_ref, dv_ref, dk_scr, dv_scr = rest
     else:
         dk_ref, dv_ref, dk_scr, dv_scr = rest
@@ -502,6 +544,8 @@ def _dkv_kernel_grid(
     scale = jnp.float32(1.0 / math.sqrt(hd))
     col0 = i * jnp.int32(tile_k)
     r0 = c * jnp.int32(qc_size)
+    # rows are the q chunk (c), cols the key tile (i): diagonal class c - i
+    bias_at = _bias_lookup(bias_ref, bias_mode, c, i, n_chunks, causal)
 
     @pl.when(c == 0)
     def _():
@@ -513,6 +557,12 @@ def _dkv_kernel_grid(
 
     @pl.when(live)
     def _():
+        mask = _chunk_mask(qc_size, tile_k, r0, col0, seq_len, causal)
+        # MQA: accumulate the cross-head dK/dV sums in VALUES (vector
+        # registers) — 32 sequential read-modify-writes on the same 16-lane
+        # scratch slice serialize the whole unrolled head chain
+        dk_acc = None
+        dv_acc = None
         for h in range(n_head):
             sl = slice(h * hd, (h + 1) * hd)
             ksl = slice(0, hd) if kvh == 1 else sl
@@ -521,19 +571,23 @@ def _dkv_kernel_grid(
             qh = q_ref[0][:, sl]
             doh = do_ref[0][:, sl]
             s = _mm(qh, kf, ((1,), (1,))) * scale  # (qc, tile_k)
-            if bias_ref is not None:
-                # rows are the q chunk (r0), cols the key tile (col0), so the
-                # diagonal class is c - i (mirror of the dq kernel's i - c)
-                s = s + bias_ref[0, h].astype(jnp.float32)
-            mask = _chunk_mask(qc_size, tile_k, r0, col0, seq_len, causal)
+            if bias_at is not None:
+                s = s + bias_at(h)
             p = jnp.where(mask, jnp.exp(s - lse_ref[0][:, h : h + 1]), jnp.float32(0.0))
             dv_h = _mm(p.astype(doh.dtype), doh, ((0,), (0,)))
             dp = _mm(doh, vf, ((1,), (1,)))
             ds = p * (dp - dcol_ref[0][:, h : h + 1])
             dk_h = _mm(ds.astype(qh.dtype), qh, ((0,), (0,)))
-            osl = ksl if kvh == 1 else sl
-            dk_scr[:, osl] = dk_scr[:, osl] + dk_h
-            dv_scr[:, osl] = dv_scr[:, osl] + dv_h
+            if kvh == 1:
+                dk_acc = dk_h if dk_acc is None else dk_acc + dk_h
+                dv_acc = dv_h if dv_acc is None else dv_acc + dv_h
+            else:
+                dk_scr[:, sl] = dk_scr[:, sl] + dk_h
+                dv_scr[:, sl] = dv_scr[:, sl] + dv_h
+        if kvh == 1:
+            ksl0 = slice(0, hd)
+            dk_scr[:, ksl0] = dk_scr[:, ksl0] + dk_acc
+            dv_scr[:, ksl0] = dv_scr[:, ksl0] + dv_acc
 
     @pl.when(c == n_chunks - 1)
     def _():
@@ -939,7 +993,16 @@ fused_flash_attention.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
 def _bias_tile(t: int, tile: Optional[int]) -> int:
     if tile is not None:
         return tile
-    return min(256, _ceil_to(t, _LANE))
+    # 128 (not 256): the expanded bias totals t_pad*C*nh*2 bytes — linear in
+    # C — and at 128 it fits VMEM whole ('resident' mode: one DMA for the
+    # entire grid instead of a multi-MB block per program, measured 2-3 ms
+    # per backward kernel at the prod shape)
+    return min(128, _ceil_to(t, _LANE))
+
+
+def _bias_resident_ok(nd: int, nh: int, c_sz: int) -> bool:
+    """Whole expansion resident in VMEM when it leaves room for the rest."""
+    return nd * nh * c_sz * c_sz * 2 <= 7 * 2**20
 
 
 def _expand_bias(table, nk: int, c_sz: int, nt: int, causal: bool, dtype):
@@ -992,6 +1055,14 @@ def _pad_args_square(q, k, v, n_head: int, c_sz: int):
     return q, k, v, hd, kvh, t_pad, qc_pad, kc_pad
 
 
+def _bias_block_resident(nd: int, nh: int, c_sz: int):
+    return pl.BlockSpec(
+        (nd, nh, c_sz, c_sz),
+        lambda b, i, ch: (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+
+
 def _bias_block(nh: int, c_sz: int, causal: bool, nt: int, kind: str):
     """Bias block selected by diagonal class; clamped so causally-dead chunks
     alias the resident block (no DMA — their compute is skipped)."""
@@ -1034,9 +1105,16 @@ def _fused_bias_fwd_impl(q, k, v, bias_exp, n_head, causal, c_sz, interpret):
         bytes_accessed=q.size * q.dtype.itemsize * 2 + 2 * k.size * k.dtype.itemsize,
         transcendentals=n_head * t * t,
     )
+    nd = bias_exp.shape[0]
+    bias_mode = "resident" if _bias_resident_ok(nd, n_head, c_sz) else "block"
+    bias_spec = (
+        _bias_block_resident(nd, n_head, c_sz)
+        if bias_mode == "resident"
+        else _bias_block(n_head, c_sz, causal, nt, "kv")
+    )
     kernel = functools.partial(
         _fwd_kernel_grid, n_head=n_head, hd=hd, kvh=kvh, tile_q=c_sz,
-        kc_size=c_sz, n_chunks=nt, seq_len=t, causal=causal, has_bias=True,
+        kc_size=c_sz, n_chunks=nt, seq_len=t, causal=causal, bias_mode=bias_mode,
     )
     o_pad, lse = pl.pallas_call(
         kernel,
@@ -1049,7 +1127,7 @@ def _fused_bias_fwd_impl(q, k, v, bias_exp, n_head, causal, c_sz, interpret):
             _tile_block3(qc_pad, c_sz),
             _chunk_block3(kc_pad, c_sz, c_sz, c_sz, causal, "kv"),
             _chunk_block3(kc_pad, c_sz, c_sz, c_sz, causal, "kv"),
-            _bias_block(n_head, c_sz, causal, nt, "kv"),
+            bias_spec,
         ],
         out_specs=(_tile_block3(qc_pad, c_sz), _tile_block3(lse_lanes, c_sz)),
         scratch_shapes=[
@@ -1126,9 +1204,20 @@ def _fused_bias_vjp_bwd(n_head, nk, causal, tile, interpret, res, g):
     dcol = prod.reshape(b, t_pad, n_head, hd).sum(-1)
     dcol = jnp.pad(dcol, [(0, 0), (0, 0), (0, lse_lanes - n_head)])
 
+    bias_mode = "resident" if _bias_resident_ok(nd, n_head, c_sz) else "block"
+    bias_spec_kv = (
+        _bias_block_resident(nd, n_head, c_sz)
+        if bias_mode == "resident"
+        else _bias_block(n_head, c_sz, causal, nt, "kv")
+    )
+    bias_spec_q = (
+        _bias_block_resident(nd, n_head, c_sz)
+        if bias_mode == "resident"
+        else _bias_block(n_head, c_sz, causal, nt, "q")
+    )
     dq_kernel = functools.partial(
         _dq_kernel_grid, n_head=n_head, hd=hd, kvh=kvh, tile_q=c_sz,
-        kc_size=c_sz, n_chunks=nt, seq_len=t, causal=causal, has_bias=True,
+        kc_size=c_sz, n_chunks=nt, seq_len=t, causal=causal, bias_mode=bias_mode,
     )
     dq_pad, dbias_diag = pl.pallas_call(
         dq_kernel,
@@ -1144,7 +1233,7 @@ def _fused_bias_vjp_bwd(n_head, nk, causal, tile, interpret, res, g):
             _tile_block3(qc_pad, c_sz),
             _tile_block3(lse_lanes, c_sz),
             _tile_block3(lse_lanes, c_sz),
-            _bias_block(n_head, c_sz, causal, nt, "kv"),
+            bias_spec_kv,
         ],
         out_specs=(
             _tile_block3(qc_pad, c_sz),
@@ -1161,7 +1250,7 @@ def _fused_bias_vjp_bwd(n_head, nk, causal, tile, interpret, res, g):
 
     dkv_kernel = functools.partial(
         _dkv_kernel_grid, n_head=n_head, hd=hd, kvh=kvh, tile_k=c_sz,
-        qc_size=c_sz, n_chunks=nt, seq_len=t, causal=causal, has_bias=True,
+        qc_size=c_sz, n_chunks=nt, seq_len=t, causal=causal, bias_mode=bias_mode,
     )
     dk_pad, dv_pad = pl.pallas_call(
         dkv_kernel,
@@ -1177,7 +1266,7 @@ def _fused_bias_vjp_bwd(n_head, nk, causal, tile, interpret, res, g):
             _chunk_block3(qc_pad, c_sz, c_sz, c_sz, causal, "q"),
             _chunk_block3(lse_lanes, c_sz, c_sz, c_sz, causal, "q"),
             _chunk_block3(lse_lanes, c_sz, c_sz, c_sz, causal, "q"),
-            _bias_block(n_head, c_sz, causal, nt, "q"),
+            bias_spec_q,
         ],
         out_specs=(_tile_block3(kc_pad, c_sz), _tile_block3(kc_pad, c_sz)),
         scratch_shapes=[

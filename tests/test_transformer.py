@@ -176,9 +176,12 @@ def test_flash_bias_path_matches_xla_path():
         )
 
 
-def test_transformer_block_flash_bias_dispatch():
+def test_transformer_block_flash_bias_dispatch(monkeypatch):
     """A causal TransformerBlock with pos_bias + use_flash must take the
     fused path (no mask built) and match the XLA block bit-for-tolerance."""
+    import recommendations_tpu.ops.fused_attention as fa
+
+    monkeypatch.setattr(fa, "BIAS_MIN_SEQ", 0)
     B, T, C, H = 1, 24, 16, 2
     x = jax.random.normal(jax.random.PRNGKey(1), (B, T, C))
     kw = dict(n_embd=C, n_head=H, attn_type="multi_query", is_causal=True,
@@ -203,6 +206,7 @@ def test_attention_fallback_warns_once(caplog):
     # pos-bias window smaller than the sequence -> fused bias path ineligible
     mod = MultiQueryAttention(n_embd=C, n_head=H, pos_bias_window=T - 4, use_flash=True)
     from recommendations_tpu.nn import attention as attn_mod
+    import recommendations_tpu.ops.fused_attention as fa
 
     attn_mod._warned.clear()
     with caplog.at_level(logging.WARNING, logger="recommendations_tpu.nn.attention"):
