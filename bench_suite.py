@@ -102,7 +102,7 @@ def _make_state(wrapper, example, train_cfg=None):
     return state, optimizer
 
 
-def _lthm_wrapper(batch, seq, layers, d, vocab, flash):
+def _lthm_wrapper(batch, seq, layers, d, vocab, flash, pos_bias=False):
     from recommendations_tpu.models.lthm.config import (
         LTHMModelConfig,
         LogQConfig,
@@ -123,6 +123,7 @@ def _lthm_wrapper(batch, seq, layers, d, vocab, flash):
             attn_config=SelfAttentionConfig(
                 n_head=max(4, d // 16), n_embd=d, attn_type="multi_query",
                 dropout=0.0, attn_dropout=0.0, bias=False,
+                pos_bias={"context_window": seq + 1} if pos_bias else None,
             ),
         ),
         product_tower=ProductTowerConfig(
@@ -169,13 +170,13 @@ def _device_batch(host_batch, mesh):
     }
 
 
-def _lthm_step_bench(batch, seq, layers, d, vocab, flash, steps):
+def _lthm_step_bench(batch, seq, layers, d, vocab, flash, steps, pos_bias=False):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec
 
     from recommendations_tpu.core.mesh import MeshConfig, build_mesh
 
-    wrapper = _lthm_wrapper(batch, seq, layers, d, vocab, flash)
+    wrapper = _lthm_wrapper(batch, seq, layers, d, vocab, flash, pos_bias)
     host_batch = _lthm_host_batch(batch, seq)
     mesh = build_mesh(MeshConfig(data=-1))
     example = {k: np.asarray(v) for k, v in host_batch.items()}
@@ -202,10 +203,14 @@ def bench_lthm_10m(on_tpu):
 
 
 def bench_lthm_seq1024(on_tpu):
+    # WITH the learned rel-pos bias, like every reference config: above the
+    # seq-768 crossover the fused kernel applies it in-kernel — the config
+    # XLA pos-bias attention prices out of (QUALITY.md round 3)
     b, s, layers, d, vocab = (16, 1024, 6, 512, 1_000_000) if on_tpu else (
-        4, 128, 2, 64, 50_000
+        8, 128, 2, 64, 50_000
     )
-    v = _lthm_step_bench(b, s, layers, d, vocab, flash=on_tpu, steps=20 if on_tpu else 3)
+    v = _lthm_step_bench(b, s, layers, d, vocab, flash=on_tpu,
+                         steps=20 if on_tpu else 3, pos_bias=on_tpu)
     return {
         "metric": "lthm_seq1024_train_examples_per_sec_per_chip",
         "value": round(v, 2), "unit": "examples/s/chip",
@@ -334,13 +339,13 @@ def bench_loader_e2e(on_tpu):
     jax.config.update("jax_compilation_cache_dir", "/tmp/bench_loader/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    steps = 40 if on_tpu else 4
+    steps = 150 if on_tpu else 4
     hist = 264 if on_tpu else 40
     write_synthetic_dataset(
         data_root,
         dates=["20240101"],
         files_per_date=8 if on_tpu else 2,
-        users_per_file=480 if on_tpu else 64,
+        users_per_file=1280 if on_tpu else 64,
         history_len=hist,
         num_products=20_000,
     )

@@ -64,6 +64,49 @@ class HostDataLoader:
             yield item
 
 
+class DevicePrefetcher:
+    """Wrap a host-batch iterator so host->device transfer overlaps the
+    device step: a background thread calls ``device_put_batch`` ahead of
+    consumption (bounded depth). On transfer-latency-sensitive rigs (e.g.
+    tunneled runtimes) the in-loop device_put otherwise serializes with
+    compute; on real hosts it hides the PCIe copy."""
+
+    def __init__(self, host_iter, mesh, depth: int = 2):
+        self._it = host_iter
+        self._mesh = mesh
+        self._depth = max(1, depth)
+
+    def __iter__(self):
+        import os
+
+        if os.environ.get("RECS_DEVICE_PREFETCH", "1") in ("0", "false"):
+            # kill-switch: transfer inline on the consumer thread
+            for hb in self._it:
+                yield device_put_batch(hb, self._mesh)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self._depth)
+        err: List[BaseException] = []
+
+        def producer():
+            try:
+                for hb in self._it:
+                    q.put(device_put_batch(hb, self._mesh))
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
 def device_put_batch(
     batch: Dict[str, np.ndarray], mesh: Optional[Mesh]
 ) -> Dict[str, jax.Array]:

@@ -154,7 +154,7 @@ def main() -> int:
                               num_products=args.products,
                               num_clusters=args.clusters, seed=99)
     imp = make_cluster_ranking_log(click_df, args.products, args.clusters,
-                                   num_rows=16384, seed=3)
+                                   num_rows=65536, seed=3)
 
     padded = _pad_lists(click_df, args.hist)
     fc = cfg.model.features
@@ -189,10 +189,10 @@ def main() -> int:
     t0 = time.time()
     _, rparams, m_with = run_joint(
         wrapper, variables, user_batches, imp, rcfg,
-        train_steps=300, batch_size=256, seed=0,
+        train_steps=1200, batch_size=256, seed=0,
     )
     t_joint = time.time() - t0
-    joint_ex_s = 300 * 256 / t_joint
+    joint_ex_s = 1200 * 256 / t_joint
 
     # ablation: identical run with the user embedding zeroed at the join
     import recommendations_tpu.tools.joint_pipeline as jp
@@ -207,7 +207,7 @@ def main() -> int:
     try:
         _, _, m_without = run_joint(
             wrapper, variables, user_batches, imp, rcfg,
-            train_steps=300, batch_size=256, seed=0,
+            train_steps=1200, batch_size=256, seed=0,
         )
     finally:
         jp.attach_user_embeddings = orig_attach
