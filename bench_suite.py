@@ -142,6 +142,9 @@ def _lthm_wrapper(batch, seq, layers, d, vocab, flash, pos_bias=False):
         context_width=seq,
         softmax_temperature=0.05,
         train_mini_batch_size=32,
+        # lazy row-sparse table updates (reference sparse=True semantics):
+        # the dense rowwise rewrite cost 10.2 ms/step at the 10M rung
+        table_optimizer="lazy_rowwise_adam",
     )
     return LTHMModelWrapper(cfg)
 
@@ -307,7 +310,9 @@ def bench_ranker(on_tpu):
     state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
     dbatch = _device_batch(host_batch, mesh)
     train_step = _train_step_fn(wrapper, optimizer)
-    steps = 30 if on_tpu else 3
+    # the ranker step is ~2.5 ms: a short window would be dominated by the
+    # final fetch's latency jitter (hundreds of ms on tunneled runtimes)
+    steps = 500 if on_tpu else 3
     elapsed = _timed_steps(train_step, state, dbatch, steps)
     v = steps * batch / elapsed / len(jax.devices())
     return {

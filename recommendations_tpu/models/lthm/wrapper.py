@@ -10,6 +10,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from recommendations_tpu.core.partitioning import PartitionRules
@@ -165,9 +166,24 @@ class LTHMModelWrapper(BaseModelWrapper):
     def _uses_rowwise_table(self) -> bool:
         cfg = self.config
         return (
-            cfg.table_optimizer == "rowwise_adam"
+            cfg.table_optimizer in ("rowwise_adam", "lazy_rowwise_adam")
             # a pretrained module lives in frozen constants — no table param
             and cfg.product_tower.model_init_metadata is None
+        )
+
+    def uses_lazy_table(self) -> bool:
+        """Lazy row-sparse table updates (train/sparse_table): only rows the
+        batch touches are read/written — the reference's sparse-optimizer
+        semantics (``nn.Embedding(sparse=True)``) done the TPU way. The
+        full-table rowwise-Adam rewrite costs 10.2 ms/step at the 10M-row
+        rung (measured) vs <=2% of rows actually touched."""
+        cfg = self.config
+        return (
+            cfg.table_optimizer == "lazy_rowwise_adam"
+            and cfg.product_tower.model_init_metadata is None
+            # row-sharded tables keep the dense rowwise path (their moments
+            # are co-sharded with rows; a sharded lazy scatter is untested)
+            and not cfg.shard_embedding_rows
         )
 
     def optimizers_for_param_groups(self) -> Optional[Dict[str, optax.GradientTransformation]]:
@@ -180,13 +196,60 @@ class LTHMModelWrapper(BaseModelWrapper):
                 b2=cfg.betas[1],
             )
         }
-        if self._uses_rowwise_table():
+        if self.uses_lazy_table():
+            # the table leaf updates OUTSIDE the generic optax path (the
+            # training step calls apply_lazy_table_update); set_to_zero
+            # keeps zero optax state and a foldable zero update for it
+            groups[self._TABLE_GROUP] = optax.set_to_zero()
+        elif self._uses_rowwise_table():
             from recommendations_tpu.train.optimizers import rowwise_adam
 
             groups[self._TABLE_GROUP] = rowwise_adam(
                 learning_rate=cfg.lr, b1=cfg.betas[0], b2=cfg.betas[1]
             )
         return groups
+
+    def _table_path(self, params: Any):
+        labels = self.param_labels(params)
+        flat = jax.tree_util.tree_flatten_with_path(labels)[0]
+        paths = [p for p, lab in flat if lab == self._TABLE_GROUP]
+        if len(paths) != 1:
+            raise ValueError(f"expected exactly one table param, got {paths}")
+        return paths[0]
+
+    def init_table_state(self, params: Any):
+        """LazyRowState for the table leaf (None when not lazy)."""
+        if not self.uses_lazy_table():
+            return None
+        from recommendations_tpu.train.sparse_table import init_lazy_row_state
+
+        path = self._table_path(params)
+        flat = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+        return init_lazy_row_state(flat[path])
+
+    def apply_lazy_table_update(self, params, grads, table_state, batch):
+        """Gather/scatter rowwise-Adam step on the touched table rows."""
+        from recommendations_tpu.train.sparse_table import lazy_rowwise_adam_update
+
+        cfg = self.config
+        path = self._table_path(params)
+        flat_p = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+        flat_g = dict(jax.tree_util.tree_flatten_with_path(grads)[0])
+        table, grad = flat_p[path], flat_g[path]
+        ids = batch[self.module.ids_key]
+        k = cfg.product_tower.latent_model_config.num_shifts_latent
+        capacity = int(np.prod(ids.shape)) * int(k)
+        new_table, new_state = lazy_rowwise_adam_update(
+            table, grad, table_state,
+            learning_rate=cfg.lr, capacity=capacity,
+            b1=cfg.betas[0], b2=cfg.betas[1],
+        )
+
+        def put(p, leaf):
+            return new_table if p == path else leaf
+
+        new_params = jax.tree_util.tree_map_with_path(put, params)
+        return new_params, new_state
 
     def param_labels(self, params: Any) -> Any:
         if not self._uses_rowwise_table():

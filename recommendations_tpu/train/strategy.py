@@ -153,6 +153,14 @@ class PjitTrainingStrategy(TrainingStrategy):
             new_params = jax.tree_util.tree_map(
                 lambda p, u: p + u, state.params, updates
             )
+            new_table_state = state.table_state
+            if state.table_state is not None:
+                # lazy row-sparse table update (train/sparse_table): the
+                # table's generic optax update is a foldable zero; only the
+                # rows this batch touched are gathered, stepped, scattered
+                new_params, new_table_state = wrapper.apply_lazy_table_update(
+                    new_params, grads, state.table_state, batch
+                )
             metrics = dict(metrics)
             metrics["grad_norm"] = jax.tree_util.tree_reduce(
                 lambda a, x: a + jnp.sum(jnp.square(x)), grads, jnp.asarray(0.0)
@@ -165,6 +173,7 @@ class PjitTrainingStrategy(TrainingStrategy):
                 aux=new_aux,
                 step=state.step + 1,
                 rng=rng,
+                table_state=new_table_state,
             )
             return new_state, loss, _pack(metrics, train_metric_keys)
 
@@ -205,13 +214,27 @@ class PjitTrainingStrategy(TrainingStrategy):
         params = variables.get("params", {})
         constants = variables.get("constants", {})
         opt_state = optimizer.init(params)
-        state = TrainState.create(params, constants, opt_state, wrapper.init_aux_state(), state_rng)
+        table_state = (
+            wrapper.init_table_state(params)
+            if hasattr(wrapper, "init_table_state")
+            else None
+        )
+        state = TrainState.create(
+            params, constants, opt_state, wrapper.init_aux_state(), state_rng,
+            table_state=table_state,
+        )
         rules = wrapper.partition_rules()
         params = shard_params(mesh, state.params, rules)
         # optimizer moments live with their params (a replicated Adam state
         # for a row-sharded table would cost 2x the table bytes per device
         # and defeat the sharding); everything else replicated
         opt_state = shard_opt_state(mesh, state.opt_state, state.params, rules)
+        # lazy-table moments shard like the table's rows (m/v are row-major)
+        table_state_sharded = state.table_state
+        if state.table_state is not None:
+            table_state_sharded = shard_opt_state(
+                mesh, state.table_state, state.params, rules
+            )
         repl = NamedSharding(mesh, PartitionSpec())
         others = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, repl),
@@ -220,7 +243,7 @@ class PjitTrainingStrategy(TrainingStrategy):
         constants, aux, step, rng = others
         return TrainState(
             params=params, constants=constants, opt_state=opt_state,
-            aux=aux, step=step, rng=rng,
+            aux=aux, step=step, rng=rng, table_state=table_state_sharded,
         )
 
     # -- main loop ------------------------------------------------------------

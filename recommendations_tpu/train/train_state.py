@@ -17,9 +17,12 @@ class TrainState:
     aux: Any          # model aux state (e.g. LTHM logq estimator)
     step: jnp.ndarray
     rng: jax.Array
+    # lazy row-sparse embedding-table optimizer state (train/sparse_table),
+    # None when the table trains through the generic optax path
+    table_state: Any = None
 
     @classmethod
-    def create(cls, params, constants, opt_state, aux, rng):
+    def create(cls, params, constants, opt_state, aux, rng, table_state=None):
         return cls(
             params=params,
             constants=constants,
@@ -27,4 +30,5 @@ class TrainState:
             aux=aux,
             step=jnp.asarray(0, jnp.int32),
             rng=rng,
+            table_state=table_state,
         )
