@@ -186,13 +186,53 @@ def main() -> int:
     print(f"encoded users={len(_table)} nonzero-emb fraction={_nz:.3f}")
     assert _nz > 0.9, "user-embedding join failed; aborting quality run"
 
+    # diagnostic: is the taste cluster linearly recoverable from user_emb?
+    # (nearest-centroid accuracy; chance = 1/num_clusters)
+    cop = _user_clusters(0, args.products, args.clusters)
+    ucl = {}
+    for _, row in click_df.iterrows():
+        pids = [int(p.split("_")[1]) for p in row["product_ids"]]
+        ucl[row["customer_id"]] = int(
+            np.bincount(cop[pids], minlength=args.clusters).argmax()
+        )
+    users = [u for u in _table if u in ucl]
+    E = np.stack([_table[u] for u in users])
+    y = np.array([ucl[u] for u in users])
+    cents = np.stack([
+        E[y == c].mean(axis=0) if (y == c).any() else np.zeros(E.shape[1])
+        for c in range(args.clusters)
+    ])
+    pred = (E @ cents.T).argmax(axis=1)
+    cluster_acc = float((pred == y).mean())
+    print(f"user_emb nearest-centroid cluster accuracy: {cluster_acc:.3f} "
+          f"(chance {1/args.clusters:.3f})")
+
+    # held-out impressions: uplift must be measured OUT of sample (train-
+    # batch AUC rewards memorization and inverted the comparison)
+    imp_eval = make_cluster_ranking_log(click_df, args.products, args.clusters,
+                                        num_rows=16384, seed=77)
+
+    def heldout_auc(rw, rparams, table):
+        from recommendations_tpu.tools.joint_pipeline import attach_user_embeddings
+        from recommendations_tpu.data.grouping import make_features_compliant
+
+        enr = attach_user_embeddings(imp_eval, table, emb_dim)
+        mapped_e = rcfg.features.default_data_mapper(enr)
+        host = make_features_compliant(dict(mapped_e), rcfg.features)
+        dev = {k: jnp.asarray(v) for k, v in host.items()
+               if getattr(v, "dtype", None) is not None and v.dtype.kind in "ifub"}
+        out = rw.forward({"params": rparams}, dev)
+        scores = np.asarray(out["click"], np.float32).reshape(-1)
+        return _auc(scores, np.asarray(imp_eval["click"], np.float32))
+
     t0 = time.time()
-    _, rparams, m_with = run_joint(
+    rw_with, rparams, m_with = run_joint(
         wrapper, variables, user_batches, imp, rcfg,
         train_steps=1200, batch_size=256, seed=0,
     )
     t_joint = time.time() - t0
     joint_ex_s = 1200 * 256 / t_joint
+    auc_with = heldout_auc(rw_with, rparams, _table)
 
     # ablation: identical run with the user embedding zeroed at the join
     import recommendations_tpu.tools.joint_pipeline as jp
@@ -205,10 +245,11 @@ def main() -> int:
 
     jp.attach_user_embeddings = zero_attach
     try:
-        _, _, m_without = run_joint(
+        rw_wo, rparams_wo, m_without = run_joint(
             wrapper, variables, user_batches, imp, rcfg,
             train_steps=1200, batch_size=256, seed=0,
         )
+        auc_without = heldout_auc(rw_wo, rparams_wo, {})  # zero embeddings
     finally:
         jp.attach_user_embeddings = orig_attach
 
@@ -219,13 +260,13 @@ def main() -> int:
             {f"recall@{int(r.k)}": float(r.recall) for r in knn.itertuples()}
             if knn is not None else None
         ),
-        "ranker_auc_with_user_emb": m_with.get("train_auc_click"),
-        "ranker_auc_without_user_emb": m_without.get("train_auc_click"),
-        "auc_uplift": (
-            None if m_with.get("train_auc_click") is None
-            else round(m_with["train_auc_click"] - m_without["train_auc_click"], 4)
-        ),
+        "ranker_heldout_auc_with_user_emb": round(auc_with, 4),
+        "ranker_heldout_auc_without_user_emb": round(auc_without, 4),
+        "auc_uplift": round(auc_with - auc_without, 4),
+        "ranker_trainbatch_auc_with": m_with.get("train_auc_click"),
+        "ranker_trainbatch_auc_without": m_without.get("train_auc_click"),
         "joint_examples_per_sec": round(joint_ex_s, 1),
+        "user_emb_cluster_centroid_acc": round(cluster_acc, 4),
     }
     with open(f"{root}/result.json", "w") as f:
         json.dump(result, f, indent=2)
