@@ -142,6 +142,7 @@ def get_host_dataloader(
     fs_config: FileSystemConfig,
     drop_remainder: bool = True,
     skip_batches: int = 0,
+    epoch: int = 0,
 ):
     """Assemble generator → grouper/batcher → prefetching loader
     (mirrors reference ``get_torch_dataloader``, ``data/__init__.py:24-65``).
@@ -157,12 +158,19 @@ def get_host_dataloader(
     (no session grouping, no shuffle buffer) the generator jumps by parquet
     metadata; ``loader.skip_applied`` reports whether it took effect so the
     caller can fall back to read-and-discard replay.
+
+    ``epoch`` is mixed into the seeds so successive epochs see DIFFERENT
+    file orders and shuffle permutations (the reference's torch DataLoader
+    reshuffles per epoch); resume determinism only needs the resumed
+    epoch's own order reproduced, which a (host, kind, epoch)-keyed seed
+    preserves.
     """
+    epoch_salt = 7_919 * int(epoch)
     generator = data_loader_strategy.load(
         kind, worker_id, paths, fs_config,
-        # decorrelate hosts/kinds; deterministic per (host, run) so resume
-        # sees the identical file order and per-chunk shuffles
-        seed=1_000_003 * worker_id + (29 if kind == "train" else 31),
+        # decorrelate hosts/kinds/epochs; deterministic per (host, epoch,
+        # run) so resume sees the identical file order and per-chunk shuffles
+        seed=1_000_003 * worker_id + (29 if kind == "train" else 31) + epoch_salt,
     )
     dl_cfg: DataLoaderConfig = data_loader_strategy.data_loader_config
     is_train = kind == "train"
@@ -177,8 +185,8 @@ def get_host_dataloader(
             dl_cfg.shuffle_buffer_num_mini_batches if is_train else 0
         ),
         macro_batches=dl_cfg.macro_batches_multiples if is_train else 1,
-        # decorrelate hosts; deterministic per (host, run)
-        seed=1_000_003 * worker_id + 17,
+        # decorrelate hosts/epochs; deterministic per (host, epoch, run)
+        seed=1_000_003 * worker_id + 17 + epoch_salt,
     )
     skip_applied = bool(skip_batches) and dataset.request_skip(skip_batches)
     if dl_cfg.bypass_dataloader:

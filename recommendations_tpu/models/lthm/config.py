@@ -208,6 +208,14 @@ class LTHMModelConfig(ModelConfig):
     table_optimizer: Literal[
         "rowwise_adam", "lazy_rowwise_adam", "adamw"
     ] = "rowwise_adam"
+    # contrastive-CE implementation: the XLA formulation (module-level
+    # custom VJP + bf16 logits storage, loss.py:_ce_core) measures a wash
+    # against the Pallas fused kernel at the prod chunk shape (5.21 vs
+    # 5.31 ms, N=16K D=128) and stays the default; 'fused' routes through
+    # ops/fused_ce (never materializes the (N, N) tile in HBM — for larger
+    # N / narrower D regimes). A typed field so the choice is serialized
+    # with the run config (was the RECS_FUSED_CE env var, VERDICT r3 #7).
+    fused_ce: bool = False
 
     @property
     def emb_dim(self) -> int:

@@ -158,20 +158,6 @@ def _ce_core_bwd(s, inv_t, beta, res, cts):
 _ce_core.defvjp(_ce_core_fwd, _ce_core_bwd)
 
 
-def _use_fused_ce() -> bool:
-    """Opt-in Pallas fused CE (RECS_FUSED_CE=1). Honest chained-step
-    measurement at the prod chunk shape (N=16K, D=128, v5e): fused 5.31 ms
-    vs XLA 5.21 ms fwd+bwd — a wash. The XLA formulation (module-level
-    custom VJP, bf16 logits storage, loss.py:_ce_core) is already
-    HBM-shaped well at this size, so it stays the default; the kernel is
-    kept as infrastructure for regimes where the (N, N) tile's HBM
-    round-trips dominate (larger N / narrower D) and as a second
-    implementation validated against the oracle (tests/test_fused_ce.py)."""
-    import os
-
-    return os.environ.get("RECS_FUSED_CE", "0") not in ("0", "false", "False")
-
-
 def _ce_rows(
     q16: jnp.ndarray,   # (N, D) bf16 normalized queries
     c16: jnp.ndarray,   # (N, D) bf16 normalized candidates
@@ -181,8 +167,18 @@ def _ce_rows(
     s: int,
     temperature: float,
     beta: float,
+    fused_ce: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    if _use_fused_ce():
+    """``fused_ce`` selects the Pallas fused CE (ops/fused_ce) over the XLA
+    formulation. Honest chained-step measurement at the prod chunk shape
+    (N=16K, D=128, v5e): fused 5.31 ms vs XLA 5.21 ms fwd+bwd — a wash, so
+    XLA (module-level custom VJP, bf16 logits storage, _ce_core) stays the
+    default; the kernel serves regimes where the (N, N) tile's HBM
+    round-trips dominate (larger N / narrower D) and doubles as a second
+    implementation validated against the oracle (tests/test_fused_ce.py).
+    The choice is a typed model-config field (``LTHMModelConfig.fused_ce``)
+    so it is serialized with the run."""
+    if fused_ce:
         from recommendations_tpu.ops.fused_ce import fused_contrastive_ce
 
         return fused_contrastive_ce(
@@ -198,6 +194,7 @@ def _head_loss(
     cand_logq: jnp.ndarray,   # (Bc, S) logQ of candidate tokens
     temperature: float,
     beta: float,
+    fused_ce: bool = False,
 ) -> Tuple[jnp.ndarray, Metrics]:
     bc, s, d = query.shape
     n = bc * s
@@ -210,7 +207,9 @@ def _head_loss(
     v = valid.reshape(n)
     lq = jax.lax.stop_gradient(cand_logq.reshape(n).astype(jnp.float32))
 
-    ce, rank = _ce_rows(q16, c16, v, lq, bc, s, float(temperature), float(beta))
+    ce, rank = _ce_rows(
+        q16, c16, v, lq, bc, s, float(temperature), float(beta), fused_ce
+    )
 
     # negatives per row, closed form (no (N, N) mask reduction): columns that
     # are valid and either cross-user or the diagonal, minus the positive:
@@ -256,6 +255,7 @@ def contrastive_step(
     metrics_k_all: List[int],
     train_mini_batch_size: int,
     training: bool,
+    fused_ce: bool = False,
 ) -> Tuple[jnp.ndarray, Metrics, LogQState]:
     """Full train/val loss over the macro batch.
 
@@ -310,7 +310,9 @@ def contrastive_step(
         n_chunks = len(starts)
         # no jax.checkpoint needed: _ce_rows' custom VJP keeps only O(N)
         # residuals and recomputes the (N,N) logits GEMM in backward
-        head_loss_fn = lambda *a: _head_loss(*a, temperature=temperature, beta=beta)
+        head_loss_fn = lambda *a: _head_loss(
+            *a, temperature=temperature, beta=beta, fused_ce=fused_ce
+        )
         if n_chunks > 1 and b % chunk == 0:
             # lax.scan serializes the chunks: a python loop leaves XLA free to
             # schedule every chunk's (N,N) tile with overlapping liveness —

@@ -136,20 +136,28 @@ class LTHMModelWrapper(BaseModelWrapper):
             metrics_k_all=list(cfg.metrics_k_all),
             train_mini_batch_size=cfg.train_mini_batch_size,
             training=training,
+            fused_ce=getattr(cfg, "fused_ce", False),
         )
         new_aux = LTHMAuxState(
             logq=new_logq,
             batch_idx=aux_state.batch_idx + (1.0 if training else 0.0),
         )
+        overflow_total = None
         for path, leaf in jax.tree_util.tree_flatten_with_path(inter)[0]:
             # sharded-embedding capacity overflow: silent zero embeddings if
-            # ignored (VERDICT r2 weak #1) — alarm on sustained nonzero
+            # ignored (VERDICT r2 weak #1) — alarm on sustained nonzero.
+            # SUM across leaves: multiple sows per step (e.g. the embedding
+            # invoked twice) append to the collection tuple, and overwriting
+            # would under-report all but the last.
             if any(
                 getattr(k, "key", None) == "alltoall_overflow" for k in path
             ):
-                metrics["embedding_alltoall_overflow"] = jnp.asarray(
-                    leaf, jnp.float32
+                leaf_f = jnp.sum(jnp.asarray(leaf, jnp.float32))
+                overflow_total = (
+                    leaf_f if overflow_total is None else overflow_total + leaf_f
                 )
+        if overflow_total is not None:
+            metrics["embedding_alltoall_overflow"] = overflow_total
         return loss, (metrics, new_aux)
 
     # ----- optimizers ---------------------------------------------------------

@@ -72,8 +72,19 @@ class FeatureEncoder(nn.Module):
             m = (x >= 0)[..., None]
             return jnp.sum(rows * m, axis=-2)
 
-        # numerical / bool / latlong: scalar → learned projection
+        # numerical / bool / latlong: scalar → learned projection.
+        # Raw numerics (price, counts …) span orders of magnitude; feeding
+        # them unscaled blows up the tower activations at init (measured:
+        # init BCE 13.8 instead of ~0.69, and the model never recovers —
+        # Adam chases the huge-scale feature and product embeddings stall).
+        # The reference normalizes via quantile embeddings
+        # (``commons/transformers/layers.py:477-511`` DenseMapper); here a
+        # signed log1p gives a bounded, monotone, stats-free compression.
+        # Tensor features (pre-normalized embeddings, e.g. the LTHM user
+        # vector) pass through untouched.
         xf = x.astype(jnp.float32).reshape(x.shape[0], -1)
+        if kind in (FeatureKind.Numerical, FeatureKind.LatLong, FeatureKind.Bool):
+            xf = jnp.sign(xf) * jnp.log1p(jnp.abs(xf))
         return nn.Dense(d, name="proj")(xf)
 
 

@@ -475,7 +475,6 @@ def _dq_kernel_grid(
     else:
         dq_ref, dq_scr = rest
         bias_ref = dbias_ref = None
-    b = pl.program_id(0)
     i = pl.program_id(1)
     c = pl.program_id(2)
     scale = jnp.float32(1.0 / math.sqrt(hd))
@@ -488,10 +487,15 @@ def _dq_kernel_grid(
         dq_scr[...] = jnp.zeros(dq_scr.shape, jnp.float32)
 
     if dbias_ref is not None:
-        # constant-index output block: persists across the whole grid, is
-        # zeroed once by the first program, accumulated by every live
-        # program, and flushes to HBM when the grid ends
-        @pl.when((b == 0) & (i == 0) & (c == 0))
+        # PER-BATCH partial block (indexed by grid dim b): persists across
+        # the i/c revisits of one batch, zeroed by that batch's first
+        # program, accumulated by every live program, flushed when b's grid
+        # slice ends; XLA sums the b partials afterwards. i/c MUST be
+        # 'arbitrary' for this call (revisits of a shared block): a
+        # 'parallel' dim would be split across Megacore cores, where the
+        # non-first core never runs the zeroing program and both flush the
+        # same HBM block (wrong dbias on v4/v5p; invisible on 1-core v5e).
+        @pl.when((i == 0) & (c == 0))
         def _():
             dbias_ref[...] = jnp.zeros(dbias_ref.shape, jnp.float32)
 
@@ -523,7 +527,9 @@ def _dq_kernel_grid(
                 # this block into its diagonal class. (f32 rolls: Mosaic's
                 # dynamic_rotate has no sub-32-bit support.)
                 diag = _diag_reduce(ds, tile_q, dbias_ref.shape[-1])
-                dbias_ref[dcls, h : h + 1, :] = dbias_ref[dcls, h : h + 1, :] + diag
+                dbias_ref[0, dcls, h : h + 1, :] = (
+                    dbias_ref[0, dcls, h : h + 1, :] + diag
+                )
 
     @pl.when(c == n_chunks - 1)
     def _():
@@ -598,6 +604,17 @@ def _dkv_kernel_grid(
 def _grid_params():
     return pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary")
+    )
+
+
+def _grid_params_batch_accum():
+    """For kernels whose output blocks are indexed by b ONLY and accumulated
+    across the i/c grid dims (the bias-backward dbias partials): b stays
+    'parallel' (distinct blocks per core under a Megacore split), i/c must
+    be 'arbitrary' so every revisit of a shared block runs on the core that
+    zeroed and holds it."""
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary", "arbitrary")
     )
 
 
@@ -1223,7 +1240,10 @@ def _fused_bias_vjp_bwd(n_head, nk, causal, tile, interpret, res, g):
         dq_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b, t_pad, qc_pad), qp.dtype),
-            jax.ShapeDtypeStruct((nd, n_head, w_diag), jnp.float32),
+            # per-batch dbias partials (summed over b in XLA below): a
+            # single constant-index block accumulated across a 'parallel'
+            # grid dim races on Megacore parts (ADVICE r3 #1)
+            jax.ShapeDtypeStruct((b, nd, n_head, w_diag), jnp.float32),
         ),
         grid=(b, nt, nt),
         in_specs=[
@@ -1238,15 +1258,16 @@ def _fused_bias_vjp_bwd(n_head, nk, causal, tile, interpret, res, g):
         out_specs=(
             _tile_block3(qc_pad, c_sz),
             pl.BlockSpec(
-                (nd, n_head, w_diag),
-                lambda b, i, ch: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                (1, nd, n_head, w_diag),
+                lambda b, i, ch: (b, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
         ),
         scratch_shapes=[pltpu.VMEM((c_sz, qc_pad), jnp.float32)],
-        compiler_params=_grid_params(),
+        compiler_params=_grid_params_batch_accum(),
         interpret=interpret_,
     )(qp, kp, vp, g_pad, lse, dcol, bias_exp)
+    dbias_diag = jnp.sum(dbias_diag, axis=0)
 
     dkv_kernel = functools.partial(
         _dkv_kernel_grid, n_head=n_head, hd=hd, kvh=kvh, tile_k=c_sz,

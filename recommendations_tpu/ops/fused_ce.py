@@ -241,6 +241,15 @@ def _grid_params():
     return pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary"))
 
 
+def _grid_params_shared_out():
+    """All-'arbitrary' for kernels whose outputs are row-slices of ONE
+    shared constant-index block (the fwd ce/rank vectors): a 'parallel'
+    tile dim is split across Megacore cores, each of which would flush its
+    own partial copy of the whole block (ADVICE r3 #1 hazard class). The
+    dq/dc kernels keep 'parallel' — their outputs are tile-indexed."""
+    return pltpu.CompilerParams(dimension_semantics=("arbitrary", "arbitrary"))
+
+
 def _fwd_impl(q16, c16, v, lq, s, inv_t, beta, tile, chunk, interpret):
     n = q16.shape[0]
     qp, cp, vp, lqp, n_pad, d_pad, r, ch = _prep(q16, c16, v, lq, tile, chunk)
@@ -286,12 +295,12 @@ def _fwd_impl(q16, c16, v, lq, s, inv_t, beta, tile, chunk, interpret):
             pltpu.VMEM((r, _LANE), jnp.float32),
             pltpu.VMEM((r, _LANE), jnp.float32),
         ],
-        compiler_params=_grid_params(),
+        compiler_params=_grid_params_shared_out(),
         interpret=interpret,
     )(qp, cp, v_c, lq_c, m, diag)
     ce = ce_t.reshape(-1)[:n]
     rank = rank_t.reshape(-1)[:n]
-    return ce, rank, (qp, cp, vp, lqp, m, diag)
+    return ce, rank, (qp, cp, vp, lqp, m, diag, r, ch)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
@@ -321,19 +330,23 @@ def fused_contrastive_ce(
 def _vjp_fwd(q16, c16, v, lq, s, inv_t, beta, tile, chunk, interpret):
     interpret_ = _interpret_default(interpret)
     ce, rank, res = _fwd_impl(q16, c16, v, lq, s, inv_t, beta, tile, chunk, interpret_)
-    qp, cp, vp, lqp, m, diag = res
+    qp, cp, vp, lqp, m, diag, r, ch = res
     n = q16.shape[0]
-    # lse = ce + diag, O(N) residual; the (N, N) tile is recomputed in bwd
+    # lse = ce + diag, O(N) residual; the (N, N) tile is recomputed in bwd.
+    # r/ch ride along so the backward reuses the EXACT tiling _prep chose:
+    # re-deriving them from n_pad diverges for N in 513..896 (n_pad is the
+    # r/ch lcm ceiling, not the ceil-to-128 _prep saw — ADVICE r3 #3)
     lse = jnp.pad(ce, [(0, qp.shape[0] - n)]) + diag.reshape(-1)
-    return (ce, rank.astype(jnp.int32)), (qp, cp, vp, lqp, m, lse, n, q16.shape[1])
+    return (ce, rank.astype(jnp.int32)), (
+        qp, cp, vp, lqp, m, lse, n, q16.shape[1], r, ch
+    )
 
 
 def _vjp_bwd(s, inv_t, beta, tile, chunk, interpret, res, cts):
     interpret_ = _interpret_default(interpret)
-    qp, cp, vp, lqp, m, lse, n, d = res
+    qp, cp, vp, lqp, m, lse, n, d, r, ch = res
     n_pad, d_pad = (int(x) for x in qp.shape)
-    r = int(tile) if tile is not None else min(512, n_pad)
-    ch = int(chunk) if chunk is not None else min(1024, n_pad)
+    r, ch = int(r), int(ch)
     nt, nc = n_pad // r, n_pad // ch
     dce = cts[0].astype(jnp.float32)
     a = jnp.pad(dce, [(0, n_pad - n)]) * jnp.float32(inv_t)

@@ -183,6 +183,11 @@ class PjitTrainingStrategy(TrainingStrategy):
             )
             return loss, _pack(metrics, val_metric_keys)
 
+        # key lists are mutated in place at trace time — expose them before
+        # ANY return so debug_numerics runs still unpack packed metrics
+        self._train_metric_keys = train_metric_keys
+        self._val_metric_keys = val_metric_keys
+
         if getattr(self.config, "debug_numerics", False):
             # sanitizer mode (SURVEY §5): trap NaN/Inf/OOB at the offending
             # op; checkify composes poorly with donation, so skip it here
@@ -191,8 +196,6 @@ class PjitTrainingStrategy(TrainingStrategy):
             return checked_step(train_step), checked_step(val_step)
 
         donate = (0,) if self.config.donate_state else ()
-        self._train_metric_keys = train_metric_keys
-        self._val_metric_keys = val_metric_keys
         return (
             jax.jit(train_step, donate_argnums=donate),
             jax.jit(val_step),
@@ -270,7 +273,7 @@ class PjitTrainingStrategy(TrainingStrategy):
         host_train_paths = get_paths_for_worker(host_id, train_data_paths, n_hosts)
         host_val_paths = get_paths_for_worker(host_id, val_data_paths, n_hosts) if val_data_paths else []
 
-        def make_loader(kind: str, paths: List[str], limit=None, skip_batches=0):
+        def make_loader(kind: str, paths: List[str], limit=None, skip_batches=0, epoch=0):
             return get_host_dataloader(
                 kind=kind,
                 worker_id=host_id,
@@ -281,6 +284,7 @@ class PjitTrainingStrategy(TrainingStrategy):
                 features_config=features,
                 fs_config=fs,
                 skip_batches=skip_batches,
+                epoch=epoch,
             )
 
         # example batch for init (variables built once, reused for optimizer
@@ -337,6 +341,7 @@ class PjitTrainingStrategy(TrainingStrategy):
         batch_nb = int(np.asarray(jax.device_get(state.step)))
         train_start = None
         stop_all = False
+        last_loss = None  # device handle of the most recent step's loss
         # jax.profiler trace capture (replaces the reference's trace flag +
         # throughput counters, SURVEY.md §5 'tracing/profiling')
         profile_dir = getattr(self.config, "profile_dir", None)
@@ -355,7 +360,9 @@ class PjitTrainingStrategy(TrainingStrategy):
             if stop_all:
                 break
             want_skip = resume_batches if epoch == resume_epoch else 0
-            loader = make_loader("train", host_train_paths, skip_batches=want_skip)
+            loader = make_loader(
+                "train", host_train_paths, skip_batches=want_skip, epoch=epoch
+            )
             it = iter(loader)
             batches_in_epoch = 0
             if epoch == resume_epoch and resume_batches > 0:
@@ -400,6 +407,7 @@ class PjitTrainingStrategy(TrainingStrategy):
                     if profile_dir and batch_nb == profile_start:
                         jax.profiler.start_trace(profile_dir)
                     state, loss, metrics = train_step(state, batch)
+                    last_loss = loss
                     batch_nb += 1
                     if train_start is None:
                         # steady-state clock: block out the first step's
@@ -509,11 +517,8 @@ class PjitTrainingStrategy(TrainingStrategy):
         # train_steps) tens of steps can still be in flight — the elapsed
         # window must cover them (a scalar fetch is the only reliable
         # barrier on tunneled runtimes)
-        try:
-            if batch_nb > 0:
-                float(loss)  # noqa: F821
-        except (NameError, UnboundLocalError):
-            pass
+        if last_loss is not None:
+            float(last_loss)
         elapsed = max(time.time() - train_start, 1e-9) if train_start else 0.0
         final = dict(global_metrics)
         final["train_steps_total"] = batch_nb

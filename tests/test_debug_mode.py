@@ -41,6 +41,43 @@ def test_oob_gather_raises():
         f(jnp.asarray(100))
 
 
+def test_debug_mode_exposes_packed_metric_keys():
+    """debug_numerics runs must still unpack the packed metric vector: the
+    key lists have to be exposed on the strategy BEFORE the checked_step
+    early return (ADVICE r3 #2 — the first metrics fetch used to raise
+    AttributeError, crashing every debug run that logs metrics)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _tiny_wrapper, _tiny_batch
+    from recommendations_tpu.config.training_strategy_config import (
+        PjitTrainingStrategyConfig,
+    )
+    from recommendations_tpu.train.strategy import PjitTrainingStrategy
+
+    strat = PjitTrainingStrategy(
+        PjitTrainingStrategyConfig(mesh_data=-1, debug_numerics=True)
+    )
+    wrapper = _tiny_wrapper()
+    batch = _tiny_batch()
+    variables = wrapper.init_variables(jax.random.PRNGKey(0), batch)
+    mesh = strat._mesh()
+    if hasattr(wrapper, "bind_mesh"):
+        wrapper.bind_mesh(mesh)
+    import optax
+
+    _, val_step = strat._make_step_fns(wrapper, optax.sgd(1e-3), mesh)
+    # attribute must exist even before any trace (this raised pre-fix)
+    assert strat._train_metric_keys == []
+    state = strat.init_state(
+        wrapper, optax.sgd(1e-3), batch, mesh, variables=variables
+    )
+    # run the (cheap, forward-only) checked val step: keys fill at trace
+    loss, metrics = val_step(state, batch, jax.random.PRNGKey(3))
+    vals = np.asarray(jax.device_get(metrics), np.float32)
+    assert len(strat._val_metric_keys) == vals.shape[0] > 0
+    assert np.isfinite(dict(zip(strat._val_metric_keys, vals))["val_loss"])
+
+
 def test_checks_lthm_tiny_loss():
     """The sanitizer wraps a real (tiny) LTHM loss without tripping.
 
