@@ -234,12 +234,15 @@ class TransformerBlock(nn.Module):
                 attn_mask = attn_mask[:, :, idx, :][:, :, :, idx]
 
         # flash/ring paths handle causality inside the kernel; the XLA path
-        # gets the additive mask
+        # gets the additive mask.  Ring carries the relative-position bias
+        # natively (per-hop Toeplitz gather, parallel/ring_attention) —
+        # pos_bias no longer forces the XLA fallback (VERDICT r3 #3); the
+        # stack asserts the UNPADDED length fits the table (ring padding may
+        # overhang it, those rows clip and never contribute).
         ring_ok = (
             self.use_ring
             and self.mesh is not None
             and attn_mask is None
-            and self.pos_bias_window is None
             and self.mesh.shape.get(self.ring_axis, 1) > 1
         )
         flash_ok = ring_ok or (
@@ -334,6 +337,11 @@ class TransformerStack(nn.Module):
 
             assert attn_mask is None, "sequence_parallel requires attn_mask=None"
             assert self.is_causal, "sequence_parallel requires is_causal"
+            if self.pos_bias_window is not None and t_orig > self.pos_bias_window:
+                raise ValueError(
+                    f"seq {t_orig} exceeds the pos-bias table window "
+                    f"{self.pos_bias_window}"
+                )
             # pad T to a ring multiple so the constraint (and every block's
             # ring) sees even shards; pad sits at the END, so under causal
             # masking no real row reads it — sliced off at exit

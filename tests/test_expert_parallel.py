@@ -125,3 +125,81 @@ def test_lthm_moe_rules_shard_experts_and_match_loss():
     np.testing.assert_allclose(
         np.asarray(loss_sharded), np.asarray(loss_repl), rtol=2e-3
     )
+
+
+def test_three_axis_train_step():
+    """data=2 x model=2 x expert=2 in ONE jitted train step (VERDICT r3 #5):
+    row-sharded embedding table + sequence-parallel ring stack + expert-
+    sharded MoE grads coexist, with finite gradients on every MoE leaf.
+
+    f32 compute: XLA:CPU's DotThunk lacks the bf16 batched dot the sharded
+    MoE einsum lowers to (UNIMPLEMENTED abort — this, not the r3-documented
+    collective deadlock, is the real CPU-backend limitation; TPU runs bf16).
+    """
+    import re
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _tiny_batch, _tiny_wrapper
+    from recommendations_tpu.core.partitioning import shard_opt_state
+    from recommendations_tpu.train.optimizers import build_optimizer
+    from recommendations_tpu.config.trainer_config import ModelTrainConfig
+    from recommendations_tpu.train.train_state import TrainState
+
+    mesh = build_mesh(MeshConfig(data=2, model=2, expert=2))
+    wrapper = _tiny_wrapper(shard_rows=True, seq_parallel=True, moe=True)
+    wrapper.config.compute_dtype = "float32"
+    wrapper.bind_mesh(mesh)
+    batch = _tiny_batch(b=8)
+    variables = wrapper.init_variables(jax.random.PRNGKey(0), batch)
+    params = variables.get("params", {})
+    optimizer = build_optimizer(wrapper, ModelTrainConfig(), params)
+    state = TrainState.create(
+        params, variables.get("constants", {}), optimizer.init(params),
+        wrapper.init_aux_state(), jax.random.PRNGKey(1),
+    )
+    rules = wrapper.partition_rules()
+    repl = NamedSharding(mesh, P())
+    state = TrainState(
+        params=shard_params(mesh, state.params, rules),
+        constants=jax.device_put(state.constants, repl),
+        opt_state=shard_opt_state(mesh, state.opt_state, state.params, rules),
+        aux=jax.device_put(state.aux, repl),
+        step=jax.device_put(state.step, repl),
+        rng=jax.device_put(state.rng, repl),
+    )
+    batch = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+             for k, v in batch.items()}
+
+    @jax.jit
+    def train_step(state, batch):
+        import optax
+
+        rng, sub = jax.random.split(state.rng)
+
+        def loss_fn(p):
+            return wrapper.loss_and_metrics(
+                p, state.constants, state.aux, batch, sub, True
+            )
+
+        (loss, (_, new_aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        return (
+            TrainState(
+                params=optax.apply_updates(state.params, updates),
+                constants=state.constants, opt_state=new_opt, aux=new_aux,
+                step=state.step + 1, rng=rng,
+            ),
+            loss, grads,
+        )
+
+    state, loss, grads = train_step(state, batch)
+    assert np.isfinite(float(loss))
+    n_checked = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        ks = jax.tree_util.keystr(path)
+        if re.search(r"moe_(fc|proj)", ks):
+            n_checked += 1
+            assert np.isfinite(np.asarray(leaf)).all(), ks
+    assert n_checked > 0
