@@ -52,6 +52,7 @@ class SimpleDatasetGenerator:
         self.num_shards: Optional[int] = None
         self._seed = seed
         self._skip_rows = 0
+        self._start_chunk = 0
 
     def set_shard(self, shard_id: int, num_shards: int) -> None:
         self.shard_id = shard_id
@@ -68,6 +69,14 @@ class SimpleDatasetGenerator:
         then deterministic across runs). Powers O(1) mid-epoch resume
         (VERDICT r2 #5) vs the O(steps) read-and-discard replay."""
         self._skip_rows = max(0, int(n))
+
+    def set_start_chunk(self, n: int) -> None:
+        """Begin iteration at chunk ordinal ``n`` (of the sharded chunk
+        list) without reading the earlier ones — O(1).  The seeded chunk
+        order reproduces across runs, so a resumed iterator sees the exact
+        chunk stream the snapshot left off at (grouped/shuffled resume,
+        ``data/grouping.py:snapshot``)."""
+        self._start_chunk = max(0, int(n))
 
     def _chunk_num_rows(self, store, chunk) -> Optional[int]:
         total = 0
@@ -107,8 +116,12 @@ class SimpleDatasetGenerator:
         pool = self.__init_reader_pool() if self.max_readers > 1 else None
         skip = self._skip_rows
         self._skip_rows = 0
+        start_chunk = self._start_chunk
+        self._start_chunk = 0
         try:
             for chunk_idx, chunk in enumerate(self.filtered_path_chunks):
+                if chunk_idx < start_chunk:
+                    continue
                 if skip > 0:
                     nrows = self._chunk_num_rows(store, chunk)
                     if nrows is not None and skip >= nrows:

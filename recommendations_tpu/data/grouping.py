@@ -136,6 +136,14 @@ class GroupedBatchDataset:
         self._shuffle_buffer_batches = max(0, shuffle_buffer_batches)
         self._macro_batches = max(1, macro_batches)
         self._seed = seed
+        # resume snapshots (VERDICT r3 #6): per-emission iterator states
+        # recorded at drain boundaries; see snapshot()/restore_snapshot()
+        import threading
+
+        self._snap_lock = threading.Lock()
+        self._snaps: List[tuple] = []  # (produced_at, state dict)
+        self._gen_pieces = 0  # generator chunk-dfs consumed
+        self._restore_state: Optional[dict] = None
 
     def request_skip(self, batches: int) -> bool:
         """Ask the upstream generator to fast-forward ``batches`` worth of
@@ -154,26 +162,84 @@ class GroupedBatchDataset:
         gen.set_skip_rows(batches * self._batch_size)
         return True
 
-    def _iter_rows(self) -> Iterator[pd.DataFrame]:
-        for df in self._gen:
-            if self._group is None or not self._group.group_by_columns:
-                yield df
+    def _split_chunk(self, df: pd.DataFrame) -> List[pd.DataFrame]:
+        """One generator chunk-df → its row pieces (the df itself, or its
+        filtered+sorted session groups).  A whole chunk's pieces enter the
+        pending window TOGETHER so the iterator state at any emission is
+        exactly (chunks consumed, pending window, rng) — the snapshot that
+        powers grouped/shuffled O(1) resume."""
+        if self._group is None or not self._group.group_by_columns:
+            return [df]
+        pieces = []
+        for _, rows in df.groupby(by=self._group.group_by_columns):
+            n = rows.shape[0]
+            if n < self._group.minimum_group_size:
                 continue
-            for _, rows in df.groupby(by=self._group.group_by_columns):
-                n = rows.shape[0]
-                if n < self._group.minimum_group_size:
-                    continue
-                if (
-                    self._group.maximum_group_size is not None
-                    and n > self._group.maximum_group_size
+            if (
+                self._group.maximum_group_size is not None
+                and n > self._group.maximum_group_size
+            ):
+                continue
+            if self._group.sort_by_columns:
+                rows = rows.sort_values(
+                    by=self._group.sort_by_columns,
+                    ascending=not self._group.sort_reverse,
+                )
+            pieces.append(rows.reset_index(drop=True))
+        return pieces
+
+    # -- resume snapshots (VERDICT r3 #6) ------------------------------------
+    # The grouped / shuffle-buffered stream cannot be row-skipped by parquet
+    # metadata (group filters change row counts; the shuffle window mixes
+    # rows across the cursor).  Instead the iterator records, at every drain
+    # boundary, a state tuple (generator chunk cursor, live pending window,
+    # shuffle-RNG state, batches produced).  ``snapshot(B)`` returns the
+    # newest state at-or-before consumer batch B (plus how many batches to
+    # discard after restoring — at most one macro's worth); restoring costs
+    # O(pending window), independent of how many steps were consumed.
+
+    _SNAP_KEEP = 64  # producer runs ahead of the consumer by prefetch depth
+
+    def _record_snap(self, produced: int, pending, pending_rows, rng) -> None:
+        state = {
+            "produced": produced,
+            "gen_pieces": self._gen_pieces,
+            "pending": list(pending),  # df references; never mutated
+            "pending_rows": pending_rows,
+            "rng_state": rng.get_state() if rng is not None else None,
+        }
+        with self._snap_lock:
+            self._snaps.append((produced, state))
+            if len(self._snaps) > self._SNAP_KEEP:
+                del self._snaps[: -self._SNAP_KEEP]
+
+    def snapshot(self, consumed_batches: int) -> Optional[bytes]:
+        """Pickled resume state for 'the consumer has taken N batches', or
+        None if the producer has not reached a recordable boundary yet (the
+        caller falls back to replay)."""
+        import pickle
+
+        with self._snap_lock:
+            best = None
+            for produced, state in self._snaps:
+                if produced <= consumed_batches and (
+                    best is None or produced > best["produced"]
                 ):
-                    continue
-                if self._group.sort_by_columns:
-                    rows = rows.sort_values(
-                        by=self._group.sort_by_columns,
-                        ascending=not self._group.sort_reverse,
-                    )
-                yield rows.reset_index(drop=True)
+                    best = state
+        if best is None:
+            return None
+        payload = dict(best)
+        payload["discard_batches"] = consumed_batches - best["produced"]
+        return pickle.dumps(payload, protocol=4)
+
+    def restore_snapshot(self, blob: bytes) -> int:
+        """Arm the next ``__iter__`` to resume from a ``snapshot()`` blob.
+        Returns the number of batches the caller must discard after restore
+        (< macro_batches; the snapshot is drain-boundary aligned)."""
+        import pickle
+
+        self._restore_state = pickle.loads(blob)
+        return int(self._restore_state.get("discard_batches", 0))
 
     def __iter__(self) -> Iterator[Batch]:
         produced = 0
@@ -185,6 +251,22 @@ class GroupedBatchDataset:
             if self._shuffle_buffer_batches
             else None
         )
+        self._gen_pieces = 0
+        if self._restore_state is not None:
+            st = self._restore_state
+            self._restore_state = None
+            produced = int(st["produced"])
+            pending = list(st["pending"])
+            pending_rows = int(st["pending_rows"])
+            self._gen_pieces = int(st["gen_pieces"])
+            if rng is not None and st["rng_state"] is not None:
+                rng.set_state(st["rng_state"])
+            if hasattr(self._gen, "set_start_chunk"):
+                self._gen.set_start_chunk(self._gen_pieces)
+            elif self._gen_pieces:
+                raise ValueError(
+                    "snapshot restore requires a generator with set_start_chunk"
+                )
         emit_rows = self._batch_size * self._macro_batches
         buffer_rows = self._batch_size * self._shuffle_buffer_batches
         # keep buffer_rows of lookahead behind every emission so the shuffle
@@ -211,26 +293,48 @@ class GroupedBatchDataset:
             pending_rows = rest.shape[0]
             return head
 
-        for piece in self._iter_rows():
-            if self._columns is not None:
-                keep = [c for c in piece.columns if c in self._columns]
-                piece = piece[keep]
-            pending.append(piece)
-            pending_rows += piece.shape[0]
+        def _drain_backlog():
+            # every drain the current window affords; also runs FIRST after
+            # a snapshot restore — a state recorded mid-backlog (window
+            # still >= threshold) must finish draining BEFORE the next
+            # chunk is read, or the shuffle window composition diverges
+            nonlocal produced
             while pending_rows >= threshold:
                 for batch in _emit(_drain(emit_rows)):
-                    yield batch
                     produced += 1
-                    if self._limit is not None and produced >= self._limit:
-                        return
+                    yield batch
+                self._record_snap(produced, pending, pending_rows, rng)
+
+        self._record_snap(produced, pending, pending_rows, rng)
+        emitted = 0
+        for batch in _drain_backlog():
+            emitted += 1
+            yield batch
+            if self._limit is not None and emitted >= self._limit:
+                return
+        for chunk_df in self._gen:
+            self._gen_pieces += 1
+            for piece in self._split_chunk(chunk_df):
+                if self._columns is not None:
+                    keep = [c for c in piece.columns if c in self._columns]
+                    piece = piece[keep]
+                pending.append(piece)
+                pending_rows += piece.shape[0]
+            for batch in _drain_backlog():
+                emitted += 1
+                yield batch
+                if self._limit is not None and emitted >= self._limit:
+                    return
         # generator exhausted: flush whatever full batches remain
         while pending_rows >= self._batch_size:
             n = (pending_rows // self._batch_size) * self._batch_size
             for batch in _emit(_drain(n)):
-                yield batch
                 produced += 1
-                if self._limit is not None and produced >= self._limit:
+                emitted += 1
+                yield batch
+                if self._limit is not None and emitted >= self._limit:
                     return
+            self._record_snap(produced, pending, pending_rows, rng)
         if pending and pending_rows and not self._drop_remainder:
             df = pd.concat(pending, axis=0) if len(pending) > 1 else pending[0]
             n = df.shape[0]

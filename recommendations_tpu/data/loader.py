@@ -39,6 +39,13 @@ class HostDataLoader:
         self._max_prefetch = max(1, max_prefetch)
         # set by get_host_dataloader when an O(1) row-skip resume was applied
         self.skip_applied = False
+        # batches the consumer must discard after a snapshot restore
+        # (drain-boundary alignment; < macro_batches)
+        self.discard_batches = 0
+
+    @property
+    def dataset(self) -> GroupedBatchDataset:
+        return self._dataset
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         q: "queue.Queue" = queue.Queue(maxsize=self._max_prefetch)
@@ -143,6 +150,7 @@ def get_host_dataloader(
     drop_remainder: bool = True,
     skip_batches: int = 0,
     epoch: int = 0,
+    snapshot: Optional[bytes] = None,
 ):
     """Assemble generator → grouper/batcher → prefetching loader
     (mirrors reference ``get_torch_dataloader``, ``data/__init__.py:24-65``).
@@ -188,9 +196,18 @@ def get_host_dataloader(
         # decorrelate hosts/epochs; deterministic per (host, epoch, run)
         seed=1_000_003 * worker_id + 17 + epoch_salt,
     )
-    skip_applied = bool(skip_batches) and dataset.request_skip(skip_batches)
+    discard = 0
+    if snapshot is not None:
+        # grouped/shuffled O(1) resume: restore the exact iterator state a
+        # checkpoint recorded (pending window + rng + chunk cursor); the
+        # caller discards `discard` in-memory batches (drain alignment)
+        discard = dataset.restore_snapshot(snapshot)
+        skip_applied = True
+    else:
+        skip_applied = bool(skip_batches) and dataset.request_skip(skip_batches)
     if dl_cfg.bypass_dataloader:
         return dataset
     loader = HostDataLoader(dataset, max_prefetch=dl_cfg.max_prefetch)
     loader.skip_applied = skip_applied
+    loader.discard_batches = discard
     return loader

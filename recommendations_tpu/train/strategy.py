@@ -273,7 +273,8 @@ class PjitTrainingStrategy(TrainingStrategy):
         host_train_paths = get_paths_for_worker(host_id, train_data_paths, n_hosts)
         host_val_paths = get_paths_for_worker(host_id, val_data_paths, n_hosts) if val_data_paths else []
 
-        def make_loader(kind: str, paths: List[str], limit=None, skip_batches=0, epoch=0):
+        def make_loader(kind: str, paths: List[str], limit=None, skip_batches=0,
+                        epoch=0, snapshot=None):
             return get_host_dataloader(
                 kind=kind,
                 worker_id=host_id,
@@ -285,6 +286,7 @@ class PjitTrainingStrategy(TrainingStrategy):
                 fs_config=fs,
                 skip_batches=skip_batches,
                 epoch=epoch,
+                snapshot=snapshot,
             )
 
         # example batch for init (variables built once, reused for optimizer
@@ -299,16 +301,35 @@ class PjitTrainingStrategy(TrainingStrategy):
         ckpt_dir = getattr(pipeline_config, "checkpoint_dir", None)
         resume_epoch = 0
         resume_batches = 0
+        resume_snapshot: Optional[bytes] = None
+
+        def _sidecar_path(step: int) -> str:
+            # host-local iterator snapshot next to the Orbax step dir: each
+            # host restores its own shard's state
+            return f"{ckpt_dir}/data_iter_h{host_id}_s{step}.pkl"
+
         if train_cfg.checkpoint_every_k_steps and ckpt_dir:
             ckpt_mgr = CheckpointManager(ckpt_dir)
             restored = ckpt_mgr.restore(state)
             if restored is not None:
-                logger.info("resumed from checkpoint step=%s", ckpt_mgr.latest_step())
+                latest = ckpt_mgr.latest_step()
+                logger.info("resumed from checkpoint step=%s", latest)
                 state, data_iter_state = restored
                 # data-iterator position (SURVEY §5 checkpoint plan): resume
                 # mid-epoch instead of silently replaying it from file 0
                 resume_epoch = int(data_iter_state.get("epoch", 0))
                 resume_batches = int(data_iter_state.get("batches_in_epoch", 0))
+                # grouped/shuffled pipelines: a host-local iterator snapshot
+                # (pending window + rng + chunk cursor) makes resume O(1) in
+                # consumed steps — replaces the O(steps) replay fallback
+                # (VERDICT r3 #6)
+                if data_iter_state.get("has_snapshot") and latest is not None:
+                    import os as _os
+
+                    p = _sidecar_path(latest)
+                    if _os.path.exists(p):
+                        with open(p, "rb") as f:
+                            resume_snapshot = f.read()
                 # global step continues from the checkpoint so train_steps /
                 # checkpoint cadences mean the same thing across restarts
 
@@ -360,13 +381,29 @@ class PjitTrainingStrategy(TrainingStrategy):
             if stop_all:
                 break
             want_skip = resume_batches if epoch == resume_epoch else 0
+            snap = resume_snapshot if epoch == resume_epoch else None
             loader = make_loader(
-                "train", host_train_paths, skip_batches=want_skip, epoch=epoch
+                "train", host_train_paths, skip_batches=want_skip, epoch=epoch,
+                snapshot=snap,
             )
             it = iter(loader)
             batches_in_epoch = 0
             if epoch == resume_epoch and resume_batches > 0:
-                if getattr(loader, "skip_applied", False):
+                if snap is not None and getattr(loader, "skip_applied", False):
+                    # O(1) snapshot resume (any pipeline, incl. grouped +
+                    # shuffle-buffered): iterator state restored; discard the
+                    # few drain-alignment batches in memory
+                    for _ in range(getattr(loader, "discard_batches", 0)):
+                        try:
+                            next(it)
+                        except StopIteration:
+                            break
+                    logger.info(
+                        "restored data-iterator snapshot at epoch %d batch %d "
+                        "(+%d alignment batches)",
+                        epoch, resume_batches, getattr(loader, "discard_batches", 0),
+                    )
+                elif getattr(loader, "skip_applied", False):
                     # O(1) resume: the generator jumped past consumed chunks
                     # by parquet metadata (no re-read, no re-transform)
                     logger.info(
@@ -374,8 +411,8 @@ class PjitTrainingStrategy(TrainingStrategy):
                         epoch, resume_batches,
                     )
                 else:
-                    # grouped / shuffle-buffered pipelines: replay-and-discard
-                    # (row counts downstream of grouping are data-dependent)
+                    # no snapshot available (e.g. pre-snapshot checkpoint):
+                    # replay-and-discard fallback
                     for _ in range(resume_batches):
                         try:
                             next(it)
@@ -485,11 +522,21 @@ class PjitTrainingStrategy(TrainingStrategy):
                         )
                         if not dont:
                             if ckpt_mgr:
+                                # host-local iterator snapshot → O(1) resume
+                                # for grouped/shuffled pipelines too
+                                snap_blob = None
+                                ds = getattr(loader, "dataset", None)
+                                if ds is not None and hasattr(ds, "snapshot"):
+                                    snap_blob = ds.snapshot(batches_in_epoch)
+                                if snap_blob is not None:
+                                    with open(_sidecar_path(batch_nb), "wb") as f:
+                                        f.write(snap_blob)
                                 ckpt_mgr.save(
                                     batch_nb, state, {"loss": loss_val},
                                     data_iter_state={
                                         "epoch": epoch,
                                         "batches_in_epoch": batches_in_epoch,
+                                        "has_snapshot": snap_blob is not None,
                                     },
                                 )
                             if model_checkpointer is not None and host_id == 0:

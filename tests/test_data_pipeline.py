@@ -230,3 +230,130 @@ def test_stats_quantiles():
     allv = np.concatenate([f["price"].values for f in frames])
     want = np.quantile(allv, np.linspace(0, 1, 21)[1:-1])
     np.testing.assert_allclose(got, want, atol=0.5)
+
+
+class _ChunkGen:
+    """Minimal generator with the set_start_chunk contract: yields chunk
+    dfs from a seeded order, resumable at a chunk ordinal."""
+
+    def __init__(self, dfs):
+        self._dfs = dfs
+        self._start = 0
+
+    def set_start_chunk(self, n):
+        self._start = n
+
+    def __iter__(self):
+        start, self._start = self._start, 0
+        for df in self._dfs[start:]:
+            yield df
+
+
+def _session_frames(n_chunks=10, rows_per_chunk=24, seed=0):
+    rs = np.random.RandomState(seed)
+    frames = []
+    uid = 0
+    for c in range(n_chunks):
+        users, ts, xs = [], [], []
+        n = 0
+        while n < rows_per_chunk:
+            size = rs.randint(1, 5)
+            for i in range(size):
+                users.append(f"u{uid}")
+                ts.append(rs.randint(0, 100))
+                xs.append(float(uid) + 0.01 * i)
+            uid += 1
+            n += size
+        frames.append(pd.DataFrame({"user": users, "t": ts, "x": xs}))
+    return frames
+
+
+def _grouped_feats():
+    return FeaturesConfig(
+        defaults={},
+        numerical_features=[{"name": "x", "kind": "numerical"}],
+        group_dataset={
+            "group_by_columns": ["user"],
+            "sort_by_columns": ["t"],
+            "sort_reverse": False,
+            "minimum_group_size": 2,
+        },
+    )
+
+
+@pytest.mark.parametrize("shuffle_buffer", [0, 3])
+def test_grouped_snapshot_resume_identical_batches(shuffle_buffer):
+    """O(1) snapshot resume for grouped (+ shuffle-buffered) pipelines
+    (VERDICT r3 #6): restore at batch B → the remaining stream is
+    bit-identical to the uninterrupted run, without re-reading consumed
+    chunks."""
+    feats = _grouped_feats()
+    kw = dict(
+        features_config=feats, batch_size=4,
+        shuffle_buffer_batches=shuffle_buffer, macro_batches=2, seed=123,
+    )
+    frames = _session_frames()
+    full = list(GroupedBatchDataset(_ChunkGen(frames), **kw))
+    assert len(full) >= 10
+
+    ds = GroupedBatchDataset(_ChunkGen(frames), **kw)
+    it = iter(ds)
+    consumed = 7  # mid-macro on purpose: exercises discard alignment
+    for i in range(consumed):
+        got = next(it)
+        np.testing.assert_array_equal(got["x"], full[i]["x"])
+    blob = ds.snapshot(consumed)
+    assert blob is not None
+
+    # resume into a FRESH dataset over a generator that tracks chunk skips
+    gen2 = _ChunkGen(frames)
+    ds2 = GroupedBatchDataset(gen2, **kw)
+    discard = ds2.restore_snapshot(blob)
+    assert 0 <= discard < 2 * 4  # < macro_batches * ... alignment batches
+    it2 = iter(ds2)
+    for _ in range(discard):
+        next(it2)
+    rest = list(it2)
+    assert len(rest) == len(full) - consumed
+    for a, b in zip(rest, full[consumed:]):
+        np.testing.assert_array_equal(a["x"], b["x"])
+
+
+def test_snapshot_resume_skips_consumed_chunks():
+    """The restored generator starts at the snapshot's chunk cursor —
+    consumed chunks are never re-read (the O(1)-in-steps property)."""
+    feats = _grouped_feats()
+    frames = _session_frames()
+    reads = []
+
+    class CountingGen(_ChunkGen):
+        def __iter__(self):
+            start, self._start = self._start, 0
+            for i, df in enumerate(self._dfs[start:], start=start):
+                reads.append(i)
+                yield df
+
+    kw = dict(features_config=feats, batch_size=4, shuffle_buffer_batches=2,
+              macro_batches=1, seed=7)
+    ds = GroupedBatchDataset(CountingGen(frames), **kw)
+    it = iter(ds)
+    for _ in range(8):
+        next(it)
+    blob = ds.snapshot(8)
+    first_reads = list(reads)
+
+    import pickle
+
+    cursor = pickle.loads(blob)["gen_pieces"]
+    assert cursor > 0 and first_reads[: cursor] == list(range(cursor))
+
+    reads.clear()
+    ds2 = GroupedBatchDataset(CountingGen(frames), **kw)
+    discard = ds2.restore_snapshot(blob)
+    it2 = iter(ds2)
+    # drain to exhaustion: every chunk the resumed run reads must be AT or
+    # AFTER the snapshot's cursor — consumed chunks are never re-read
+    n_rest = sum(1 for _ in it2)
+    assert n_rest > discard
+    assert reads, "resumed run never reached the generator"
+    assert min(reads) == cursor, (reads, cursor)

@@ -189,9 +189,9 @@ def test_trainer_pipeline_fresh_run_no_checkpoint_dir(tmp_path):
 
 def test_trainer_resume_o1_skip_under_shuffle(tmp_path, caplog):
     """Resume with shuffle_files=True + max_readers=2 (VERDICT r2 #5): the
-    LTHM pipeline has no grouping/shuffle-buffer, so the restart takes the
-    O(1) metadata-skip path — and with the now-seeded generator the stream
-    is reproducible, so the resumed run completes its exact step budget."""
+    restart must take an O(1) path — the iterator-state snapshot (preferred;
+    covers grouped/shuffled pipelines too, VERDICT r3 #6) or the metadata
+    row-skip — never the O(steps) replay."""
     _seed_store()
     cfg1 = _pipeline_config(tmp_path, train_steps=6, shuffle=True)
     m1 = _run(cfg1)
@@ -204,7 +204,10 @@ def test_trainer_resume_o1_skip_under_shuffle(tmp_path, caplog):
         m2 = _run(cfg2)
     assert m2["train_steps_total"] == 12
     assert np.isfinite(m2.get("loss", m2.get("total_loss", 0.0)))
-    # it must have used the metadata-skip path, not replay
-    assert any("metadata skip" in r.message for r in caplog.records), [
-        r.message for r in caplog.records
+    o1 = [
+        r.message
+        for r in caplog.records
+        if "metadata skip" in r.message or "data-iterator snapshot" in r.message
     ]
+    assert o1, [r.message for r in caplog.records]
+    assert not any("(replay)" in r.message for r in caplog.records)
