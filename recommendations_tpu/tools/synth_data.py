@@ -27,10 +27,20 @@ def make_click_log(
     num_clusters: int = 16,
     seed: int = 0,
     structure_seed: int = 777,
+    p_in_cluster_jump: float = 0.0,
 ) -> pd.DataFrame:
     # the product->cluster structure is GLOBAL (fixed structure_seed): every
     # file/date shares the same catalog dynamics, so models can generalize
     # from train dates to val dates; `seed` varies only users and noise
+    #
+    # ``p_in_cluster_jump``: per step, probability of jumping to a RANDOM
+    # in-cluster product instead of the ring successor. 0 (default, the
+    # historical behavior) gives a deterministic per-cluster ring — maximal
+    # sequential signal, but retrieval embeddings become successor-specific
+    # (measured: dot(user_vec, in-cluster product) is chance outside the
+    # successor). A mixture (e.g. 0.35) adds in-cluster co-occurrence, which
+    # is what clusters real-world retrieval embedding spaces — used by the
+    # joint-quality harness (tools_joint_quality.py).
     struct = np.random.RandomState(structure_seed)
     cluster_of_product = struct.randint(0, num_clusters, size=num_products)
     products_by_cluster = [
@@ -47,7 +57,17 @@ def make_click_log(
             pool = np.arange(num_products)
         start = rng.randint(len(pool))
         n = rng.randint(history_len // 2, history_len + 1)
-        seq = [pool[(start + i) % len(pool)] for i in range(n)]
+        if p_in_cluster_jump <= 0.0:
+            seq = [pool[(start + i) % len(pool)] for i in range(n)]
+        else:
+            seq = []
+            pos = start
+            for _ in range(n):
+                seq.append(pool[pos % len(pool)])
+                if rng.rand() < p_in_cluster_jump:
+                    pos = rng.randint(len(pool))
+                else:
+                    pos += 1
         if rng.rand() < 0.2:  # noise: occasional out-of-cluster click
             seq[rng.randint(n)] = rng.randint(num_products)
         ts0 = base_ts + rng.randint(0, 86400 * 7)
@@ -88,6 +108,8 @@ def write_synthetic_dataset(
     history_len: int = 32,
     num_products: int = 2000,
     seed: int = 0,
+    num_clusters: int = 16,
+    p_in_cluster_jump: float = 0.0,
 ) -> List[str]:
     """Write date-partitioned parquet under ``root/date=YYYYMMDD/part-N.parquet``."""
     dates = dates or ["20240101"]
@@ -101,7 +123,9 @@ def write_synthetic_dataset(
                 num_users=users_per_file,
                 history_len=history_len,
                 num_products=num_products,
+                num_clusters=num_clusters,
                 seed=seed + i,
+                p_in_cluster_jump=p_in_cluster_jump,
             )
             df = _pad_lists(df, history_len)
             path = os.path.join(day_dir, f"part-{p:05d}.parquet")

@@ -91,10 +91,14 @@ def make_cluster_ranking_log(user_cluster: dict, users: list,
         "price": price,
         "click": click,
     })
-    # Bayes references for calibration (what a perfect model could score)
-    df.attrs["true_logit"] = logits
-    df.attrs["product_only_logit"] = quality[p_idx] - 0.004 * price
-    return df
+    # Bayes references for calibration (what a perfect model could score);
+    # returned separately — arrays in DataFrame.attrs break pandas concat
+    # (attrs equality comparison on ndarrays)
+    refs = {
+        "true_logit": logits,
+        "product_only_logit": quality[p_idx] - 0.004 * price,
+    }
+    return df, refs
 
 
 def _auc(scores: np.ndarray, labels: np.ndarray) -> float:
@@ -141,6 +145,15 @@ def _ranker_config(emb_dim: int):
             "tensor_features": [
                 {"name": "user_emb", "kind": "tensor", "emb_dim": emb_dim,
                  "tower_name": "user"},
+                # the candidate product's embedding from the SAME retrieval
+                # space (LTHM product tower): the pairwise interaction
+                # dot(user_emb, item_emb) is then directly the retrieval
+                # affinity — the joint design's actual inductive bias. A
+                # from-scratch ranker product embedding would have to learn
+                # the bilinear map into LTHM space before any uplift can
+                # appear (measured: it never does within the step budget).
+                {"name": "item_emb", "kind": "tensor", "emb_dim": emb_dim,
+                 "tower_name": "product"},
             ],
         },
     )
@@ -172,9 +185,15 @@ def main() -> int:
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(data_root, exist_ok=True)
 
+    # in-cluster jump mixture: real click logs interleave a user's cluster
+    # (co-occurrence clusters the retrieval embedding space); a pure ring
+    # makes embeddings successor-specific — measured raw retrieval-dot AUC
+    # 0.49 (chance) on ring data vs well above on the mixture
+    jump = 0.35
     write_synthetic_dataset(
         data_root, dates=["20240101", "20240102"], files_per_date=4,
         users_per_file=512, history_len=args.hist, num_products=args.products,
+        num_clusters=args.clusters, p_in_cluster_jump=jump,
         # the LTHM pretraining log shares the catalog structure (same
         # structure_seed) but different users than the impression users
     )
@@ -230,7 +249,8 @@ def main() -> int:
 
     click_df = make_click_log(num_users=1024, history_len=args.hist,
                               num_products=args.products,
-                              num_clusters=args.clusters, seed=99)
+                              num_clusters=args.clusters, seed=99,
+                              p_in_cluster_jump=jump)
     user_cluster = _user_cluster_map(click_df, args.products, args.clusters)
     all_users = list(user_cluster)
     split_rs = np.random.RandomState(5)
@@ -239,20 +259,20 @@ def main() -> int:
     heldout_users = [all_users[i] for i in perm[:n_hold]]
     train_users = [all_users[i] for i in perm[n_hold:]]
 
-    imp = make_cluster_ranking_log(
+    imp, _ = make_cluster_ranking_log(
         user_cluster, train_users, args.products, args.clusters,
         num_rows=args.train_rows, seed=3)
-    imp_eval_hold = make_cluster_ranking_log(
+    imp_eval_hold, refs_hold = make_cluster_ranking_log(
         user_cluster, heldout_users, args.products, args.clusters,
         num_rows=args.eval_rows, seed=77)
-    imp_eval_train = make_cluster_ranking_log(
+    imp_eval_train, _ = make_cluster_ranking_log(
         user_cluster, train_users, args.products, args.clusters,
         num_rows=args.eval_rows, seed=78)
 
     y_hold = imp_eval_hold["click"].to_numpy().astype(np.float32)
     y_tr = imp_eval_train["click"].to_numpy().astype(np.float32)
-    bayes_full = _auc(imp_eval_hold.attrs["true_logit"], y_hold)
-    bayes_prod = _auc(imp_eval_hold.attrs["product_only_logit"], y_hold)
+    bayes_full = _auc(refs_hold["true_logit"], y_hold)
+    bayes_prod = _auc(refs_hold["product_only_logit"], y_hold)
     print(f"calibration (heldout users): bayes-optimal AUC {bayes_full:.4f}, "
           f"product-only-optimal {bayes_prod:.4f}")
 
@@ -278,6 +298,52 @@ def main() -> int:
     print(f"encoded users={len(table)} join coverage={coverage:.3f}")
     assert coverage > 0.9, "user-embedding join failed; aborting quality run"
 
+    # candidate-side retrieval embeddings: every impression sku through the
+    # LTHM product tower (same path the KNN eval uses), hashed with the
+    # exact history-feature semantics
+    from recommendations_tpu.features.hashing import (
+        hash_feature_name_to_int, hash_strings_to_long,
+    )
+    from recommendations_tpu.pipeline.knn_eval import encode_catalog
+
+    hfeat = cfg.model.features.categorical_history_features[0]
+    seed_h = hash_feature_name_to_int(hfeat.history_id_feature_name)
+    skus = sorted(
+        set(imp["product_id"]) | set(imp_eval_hold["product_id"])
+        | set(imp_eval_train["product_id"])
+    )
+    hashed = hash_strings_to_long([str(s) for s in skus], seed_h,
+                                  value_to_lower=False)
+    item_embs = encode_catalog(wrapper, variables,
+                               np.asarray(hashed, np.int64))
+    item_table = {s: np.asarray(item_embs[i], np.float32)
+                  for i, s in enumerate(skus)}
+
+    # no-training diagnostic: raw retrieval dot(user, item) on heldout users
+    ue = np.stack([table.get(str(u), np.zeros(emb_dim, np.float32))
+                   for u in imp_eval_hold["customer_id"]])
+    ie = np.stack([item_table[s] for s in imp_eval_hold["product_id"]])
+    dots = np.sum(ue * ie, axis=1)
+    retrieval_dot_auc = _auc(dots, y_hold)
+    print(f"raw retrieval-dot AUC (heldout users): {retrieval_dot_auc:.4f}")
+    # does the raw dot see the MATCH variable itself (undiluted by
+    # quality/price noise)? and does the PRODUCT embedding space cluster?
+    cop_d = _product_clusters(args.products, args.clusters)
+    u_cl_e = np.array([user_cluster[u] for u in imp_eval_hold["customer_id"]])
+    p_cl_e = np.array([cop_d[int(s.split("_")[1])]
+                       for s in imp_eval_hold["product_id"]])
+    match_e = (u_cl_e == p_cl_e).astype(np.float32)
+    dot_match_auc = _auc(dots, match_e)
+    pe = np.stack([item_table[f"sku_{p}"] for p in range(args.products)
+                   if f"sku_{p}" in item_table])
+    pcl = np.array([cop_d[p] for p in range(args.products)
+                    if f"sku_{p}" in item_table])
+    pc = np.stack([pe[pcl == c].mean(0) if (pcl == c).any()
+                   else np.zeros(pe.shape[1]) for c in range(args.clusters)])
+    prod_centroid_acc = float(((pe @ pc.T).argmax(1) == pcl).mean())
+    print(f"dot-vs-match AUC: {dot_match_auc:.4f}; product-emb centroid "
+          f"acc: {prod_centroid_acc:.3f} (chance {1 / args.clusters:.3f})")
+
     # diagnostic: taste cluster recoverable from user_emb? (nearest centroid)
     users_e = [u for u in table if u in user_cluster]
     E = np.stack([table[u] for u in users_e])
@@ -299,9 +365,17 @@ def main() -> int:
     zero_col = [np.zeros(emb_dim, np.float32)]
 
     def prep(df, zero_emb: bool):
+        """Attach the retrieval-space features; the ablated arm zeroes BOTH
+        (= 'no retrieval encoder feeding the ranker', the rung-4 ablation).
+        product_id/price stay, so the ablated arm still learns quality."""
         d = attach_user_embeddings(df, {} if zero_emb else table, emb_dim)
+        d = attach_user_embeddings(
+            d, {} if zero_emb else item_table, emb_dim,
+            id_column="product_id", out_column="item_emb",
+        )
         if zero_emb:
             d["user_emb"] = zero_col * len(d)
+            d["item_emb"] = zero_col * len(d)
         return feats.default_data_mapper(d)
 
     def to_dev(sl):
@@ -352,6 +426,19 @@ def main() -> int:
               + " ".join(f"{n}={a:.4f}" for n, a in trace))
         return dict(trace), wall, float(m.get("train_auc_click", np.nan))
 
+    # persist the joint artifacts so ranker-side experiments can iterate
+    # without retraining the LTHM encoder (tools_joint_ranker_only.py)
+    import pickle
+
+    with open(f"{root}/artifacts.pkl", "wb") as f:
+        pickle.dump({
+            "user_table": table, "item_table": item_table,
+            "imp": imp, "imp_eval_hold": imp_eval_hold,
+            "imp_eval_train": imp_eval_train,
+            "y_hold": y_hold, "y_tr": y_tr, "emb_dim": emb_dim,
+            "bayes_full": bayes_full, "bayes_prod": bayes_prod,
+        }, f, protocol=4)
+
     auc_with, wall_with, tauc_with = train_arm(zero_emb=False)
     auc_wo, wall_wo, tauc_wo = train_arm(zero_emb=True)
     joint_ex_s = args.ranker_steps * 256 / wall_with
@@ -378,6 +465,9 @@ def main() -> int:
         "join_coverage": round(coverage, 4),
         "joint_examples_per_sec": round(joint_ex_s, 1),
         "user_emb_cluster_centroid_acc": round(cluster_acc, 4),
+        "raw_retrieval_dot_auc_heldout_users": round(retrieval_dot_auc, 4),
+        "raw_dot_vs_match_auc": round(dot_match_auc, 4),
+        "product_emb_cluster_centroid_acc": round(prod_centroid_acc, 4),
         "config": {"clusters": args.clusters, "train_rows": args.train_rows,
                    "ranker_steps": args.ranker_steps, "match_coef": 4.0},
     }
