@@ -76,6 +76,14 @@ def main() -> int:
         context_width=seq,
         softmax_temperature=0.05,
         train_mini_batch_size=32,
+        # the Pallas fused CE wins at this chunk shape (N=8448: 55.8 vs
+        # 58.0 ms/step, trace-verified r4); parity-tested vs the XLA oracle
+        fused_ce=on_tpu,
+        # dense rowwise Adam: at 1M rows the dense update (~640MB, ~1ms)
+        # beats the lazy path's three compacted-row scatters (measured
+        # 709 vs 1147 ex/s) — lazy only wins at the 10M rung where dense
+        # traffic is 10x (bench_suite uses it there via the prod yaml)
+        table_optimizer="rowwise_adam",
     )
     wrapper = LTHMModelWrapper(cfg)
 
@@ -96,9 +104,14 @@ def main() -> int:
     params = variables.get("params", {})
     constants = variables.get("constants", {})
     optimizer = build_optimizer(wrapper, ModelTrainConfig(), params)
+    table_state = (
+        wrapper.init_table_state(params)
+        if hasattr(wrapper, "init_table_state")
+        else None
+    )
     state = TrainState.create(
         params, constants, optimizer.init(params), wrapper.init_aux_state(),
-        jax.random.PRNGKey(1),
+        jax.random.PRNGKey(1), table_state=table_state,
     )
     repl = NamedSharding(mesh, PartitionSpec())
     state = jax.device_put(state, repl)
@@ -119,10 +132,18 @@ def main() -> int:
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_table_state = state.table_state
+        if state.table_state is not None:
+            # lazy row-sparse table step (mirrors train/strategy.py): the
+            # table's generic optax update is a foldable zero
+            new_params, new_table_state = wrapper.apply_lazy_table_update(
+                new_params, grads, state.table_state, b
+            )
         return (
             TrainState(
                 params=new_params, constants=state.constants, opt_state=new_opt,
                 aux=new_aux, step=state.step + 1, rng=rng,
+                table_state=new_table_state,
             ),
             loss,
         )

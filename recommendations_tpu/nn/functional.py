@@ -33,6 +33,19 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
     return x / norm
 
 
+def l2_normalize_f32acc(
+    x: jnp.ndarray, axis: int = -1, eps: float = 1e-12
+) -> jnp.ndarray:
+    """``l2_normalize`` with the norm reduction in f32 but the OUTPUT kept in
+    the input dtype — avoids materializing an f32 copy of large low-precision
+    tensors (the LTHM loss normalizes a (B, S, K, D) bf16 tensor; an f32
+    round-trip costs two full HBM passes it immediately undoes)."""
+    xf = x.astype(jnp.float32)
+    sq = jnp.sum(xf * xf, axis=axis, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return (xf / norm).astype(x.dtype)
+
+
 @jax.custom_vjp
 def cap_gradients(x: jnp.ndarray) -> jnp.ndarray:
     """Identity forward; L2-normalizes the cotangent in backward.

@@ -137,6 +137,14 @@ def _fwd_kernel(
     else:
         chunk_hi = jnp.int32(n_chunks)
 
+    # mask is head-independent: build ONCE per program for the straight-line
+    # single-chunk case (an in-loop rebuild costs ~6 VPU passes x tile^2 x
+    # n_head — trace-measured material at MQA-32)
+    mask0 = (
+        _chunk_mask(tile_q, kc_size, row0, jnp.int32(0), seq_len, causal)
+        if n_chunks == 1
+        else None
+    )
     lse_cols = []
     for h in range(n_head):
         sl = slice(h * hd, (h + 1) * hd)
@@ -150,7 +158,11 @@ def _fwd_kernel(
             kc = k_ref[0, pl.ds(c0, kc_size), ksl]
             vc = v_ref[0, pl.ds(c0, kc_size), ksl]
             s = _mm(qh, kc, ((1,), (1,))) * scale
-            mask = _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
+            mask = (
+                mask0
+                if mask0 is not None
+                else _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
+            )
             s = jnp.where(mask, s, jnp.float32(NEG_INF))
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
@@ -201,6 +213,11 @@ def _dq_kernel(
     else:
         chunk_hi = jnp.int32(n_chunks)
 
+    mask0 = (
+        _chunk_mask(tile_q, kc_size, row0, jnp.int32(0), seq_len, causal)
+        if n_chunks == 1
+        else None
+    )
     for h in range(n_head):
         sl = slice(h * hd, (h + 1) * hd)
         ksl = slice(0, hd) if kvh == 1 else sl
@@ -214,7 +231,11 @@ def _dq_kernel(
             kc = k_ref[0, pl.ds(c0, kc_size), ksl]
             vc = v_ref[0, pl.ds(c0, kc_size), ksl]
             s = _mm(qh, kc, ((1,), (1,))) * scale
-            mask = _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
+            mask = (
+                mask0
+                if mask0 is not None
+                else _chunk_mask(tile_q, kc_size, row0, c0, seq_len, causal)
+            )
             p = jnp.where(mask, jnp.exp(s - lse_h), jnp.float32(0.0))
             dp = _mm(doh, vc, ((1,), (1,)))
             ds = p * (dp - d_h)
@@ -242,6 +263,11 @@ def _dkv_kernel(
     # chunk loop at the first chunk that can attend to col0
     chunk_lo = col0 // jnp.int32(qc_size) if causal else jnp.int32(0)
 
+    mask0 = (
+        _chunk_mask(qc_size, tile_k, jnp.int32(0), col0, seq_len, causal)
+        if n_chunks == 1
+        else None
+    )
     dk_acc = None
     dv_acc = None
     for h in range(n_head):
@@ -259,7 +285,11 @@ def _dkv_kernel(
             lse_h = lse_ref[0, pl.ds(r0, qc_size), h : h + 1]
             d_h = dcol_ref[0, pl.ds(r0, qc_size), h : h + 1]
             s = _mm(qh, kf, ((1,), (1,))) * scale  # (qc, tile_k)
-            mask = _chunk_mask(qc_size, tile_k, r0, col0, seq_len, causal)
+            mask = (
+                mask0
+                if mask0 is not None
+                else _chunk_mask(qc_size, tile_k, r0, col0, seq_len, causal)
+            )
             p = jnp.where(mask, jnp.exp(s - lse_h), jnp.float32(0.0))
             dv_h = dv_h + _mm(p.astype(doh.dtype), doh, ((0,), (0,)))
             dp = _mm(doh, vf, ((1,), (1,)))  # (qc, tile_k)
@@ -626,10 +656,16 @@ def _resolve_tile(t: int, tile: Optional[int]) -> int:
     per (batch, whole-sequence) up to 384 rows, then split. 512-row q
     tiles fail to compile on this Mosaic build (512x512 f32 logits
     buffers x 32 unrolled heads) — stay at <=384 or 256.
+
+    Rows round to the f32 SUBLANE tile (8), not the 128 lane tile: these
+    kernels are VPU-pass-bound on their (tile, tile) buffers at hd=16, and
+    a 128-rounded 384-row tile for T=265 does 2.1x the element work of the
+    8-rounded 272 (trace-measured 33% of the headline step in these
+    kernels).
     """
     if tile is not None:
         return tile
-    return _ceil_to(t, _LANE) if t <= 384 else 256
+    return _ceil_to(t, 8) if t <= 384 else 256
 
 
 def _pad_args(q, k, v, n_head, tile):

@@ -42,6 +42,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace-dir", default="/tmp/headline_trace")
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--fused-ce", action="store_true")
+    ap.add_argument("--no-trace", action="store_true")
     args = ap.parse_args()
 
     batch, seq, layers, d, vocab = 64, 256, 6, 512, 1_000_000
@@ -68,6 +70,7 @@ def main() -> int:
         log_q_config=LogQConfig(num_buckets=2**22, hash_offsets=[0, 34144, 7465477]),
         lookahead=[0, 5, 6, 12, 24, 30],
         context_width=seq, softmax_temperature=0.05, train_mini_batch_size=32,
+        fused_ce=args.fused_ce,
     )
     wrapper = LTHMModelWrapper(cfg)
     rs = np.random.RandomState(0)
@@ -136,12 +139,13 @@ def main() -> int:
     print(f"step {step_ms:.2f} ms  ({ex_s:.1f} ex/s/chip)")
 
     # --- profiler trace ---------------------------------------------------
-    jax.profiler.start_trace(args.trace_dir)
-    for _ in range(5):
-        state, loss = train_step(state, dbatch)
-    float(checksum(state))
-    jax.profiler.stop_trace()
-    print(f"trace written to {args.trace_dir}")
+    if not args.no_trace:
+        jax.profiler.start_trace(args.trace_dir)
+        for _ in range(5):
+            state, loss = train_step(state, dbatch)
+        float(checksum(state))
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.trace_dir}")
 
     # --- analytic roofline -------------------------------------------------
     tokens = batch * (seq + 8)
