@@ -474,6 +474,28 @@ def main() -> int:
     with open(f"{root}/result.json", "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
+
+    # record the joint throughput as a bench-suite rung (BASELINE rung 4)
+    # and persist the quality evidence next to the other round artifacts
+    repo = os.path.dirname(os.path.abspath(__file__))
+    suite_path = os.path.join(repo, "BENCH_SUITE.json")
+    existing = {}
+    if os.path.exists(suite_path):
+        try:
+            with open(suite_path) as f:
+                existing = {r["metric"]: r for r in json.load(f)}
+        except Exception:
+            existing = {}
+    existing["joint_ranker_examples_per_sec_per_chip"] = {
+        "metric": "joint_ranker_examples_per_sec_per_chip",
+        "value": round(joint_ex_s, 1),
+        "unit": "examples/s/chip",
+        "auc_uplift_heldout_users": result["auc_uplift_heldout_users"],
+    }
+    with open(suite_path, "w") as f:
+        json.dump(list(existing.values()), f, indent=2)
+    shutil.copy(f"{root}/result.json",
+                os.path.join(repo, "JOINT_QUALITY.json"))
     return 0
 
 

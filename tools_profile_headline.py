@@ -44,9 +44,13 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--fused-ce", action="store_true")
     ap.add_argument("--no-trace", action="store_true")
+    ap.add_argument("--vocab", type=int, default=1_000_000)
+    ap.add_argument("--table-optimizer", default=None,
+                    help="override table_optimizer (e.g. lazy_rowwise_adam "
+                         "to profile the 10M rung's update path)")
     args = ap.parse_args()
 
-    batch, seq, layers, d, vocab = 64, 256, 6, 512, 1_000_000
+    batch, seq, layers, d, vocab = 64, 256, 6, 512, args.vocab
     cfg = LTHMModelConfig(
         features={"defaults": {}},
         transformer_config=TransformerConfig(
@@ -71,6 +75,8 @@ def main() -> int:
         lookahead=[0, 5, 6, 12, 24, 30],
         context_width=seq, softmax_temperature=0.05, train_mini_batch_size=32,
         fused_ce=args.fused_ce,
+        **({"table_optimizer": args.table_optimizer}
+           if args.table_optimizer else {}),
     )
     wrapper = LTHMModelWrapper(cfg)
     rs = np.random.RandomState(0)
@@ -88,9 +94,13 @@ def main() -> int:
     params = variables.get("params", {})
     constants = variables.get("constants", {})
     optimizer = build_optimizer(wrapper, ModelTrainConfig(), params)
+    table_state = (
+        wrapper.init_table_state(params)
+        if hasattr(wrapper, "init_table_state") else None
+    )
     state = TrainState.create(
         params, constants, optimizer.init(params), wrapper.init_aux_state(),
-        jax.random.PRNGKey(1),
+        jax.random.PRNGKey(1), table_state=table_state,
     )
     repl = NamedSharding(mesh, PartitionSpec())
     state = jax.device_put(state, repl)
@@ -113,10 +123,20 @@ def main() -> int:
         )(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_table_state = state.table_state
+        if state.table_state is not None:
+            new_params, new_table_state = wrapper.apply_lazy_table_update(
+                new_params, grads, state.table_state, b
+            )
+        # the real strategy step also pays these full-tree passes
+        grad_norm = jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.square(x)), grads, jnp.asarray(0.0)
+        ) ** 0.5
+        loss = loss + 0.0 * grad_norm
         return (
             TrainState(params=new_params, constants=state.constants,
                        opt_state=new_opt, aux=new_aux, step=state.step + 1,
-                       rng=rng),
+                       rng=rng, table_state=new_table_state),
             loss,
         )
 
