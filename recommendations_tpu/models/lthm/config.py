@@ -202,11 +202,16 @@ class LTHMModelConfig(ModelConfig):
     # parameter that dominates it) or 'adamw' (reference puts everything in
     # one AdamW group, wrapper.py:260-275)
     # 'rowwise_adam': dense rowwise Adam over the full table each step;
-    # 'lazy_rowwise_adam': only batch-touched rows are read/updated (the
-    # reference's sparse-optimizer semantics; ~10 ms/step cheaper at 10M
-    # rows); 'adamw': table joins the generic dense AdamW group
+    # 'lazy_rowwise_adam': dense grad, but only batch-touched rows get
+    # moment updates (reference sparse-optimizer semantics; its touched-row
+    # scan is a nonzero over V — measured 969 ms at V=10M, only viable for
+    # small tables); 'sparse_fused_adam': fully sparse — the table+moments
+    # live in one (V, 128) record, the gradient stays compact (tap
+    # cotangent), and the step is one row gather + one row scatter
+    # (train/sparse_table.py — the large-V path); 'adamw': table joins the
+    # generic dense AdamW group
     table_optimizer: Literal[
-        "rowwise_adam", "lazy_rowwise_adam", "adamw"
+        "rowwise_adam", "lazy_rowwise_adam", "sparse_fused_adam", "adamw"
     ] = "rowwise_adam"
     # contrastive-CE implementation: the XLA formulation (module-level
     # custom VJP + bf16 logits storage, loss.py:_ce_core) measures a wash
@@ -220,6 +225,16 @@ class LTHMModelConfig(ModelConfig):
     @property
     def emb_dim(self) -> int:
         return self.transformer_config.attn_config.n_embd
+
+    def uses_fused_table(self) -> bool:
+        """Fused-record sparse table path (train/sparse_table.py): gated to
+        the unsharded fresh-table case; row-sharded tables keep the dense
+        co-sharded optimizer, pretrained modules have no table param."""
+        return (
+            self.table_optimizer == "sparse_fused_adam"
+            and self.product_tower.model_init_metadata is None
+            and not self.shard_embedding_rows
+        )
 
     @property
     def export_tokens(self) -> int:

@@ -225,7 +225,10 @@ class LTHMEncoder(nn.Module):  # noqa: D101  (docstring below)
 
     @nn.compact
     def __call__(
-        self, batch: Dict[str, jnp.ndarray], deterministic: bool = True
+        self,
+        batch: Dict[str, jnp.ndarray],
+        deterministic: bool = True,
+        taps: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.config
         tc = cfg.product_tower
@@ -266,8 +269,9 @@ class LTHMEncoder(nn.Module):  # noqa: D101  (docstring below)
                 num_shifts=tc.latent_model_config.num_shifts_latent,
                 normalize_output=tc.latent_model_config.normalize_embedding,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
+                fused_record=cfg.uses_fused_table(),
                 name="product_emb_module",
-            )(ids)
+            )(ids, tap=(taps or {}).get("product_emb_rows"))
 
         inp, target, mask = ProductTower(cfg, name="product_tower")(ids, embs)
 

@@ -88,6 +88,7 @@ class LTHMModelWrapper(BaseModelWrapper):
         rng: Optional[jax.Array] = None,
         deterministic: bool = True,
         collect_intermediates: bool = False,
+        taps: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> Dict[str, jnp.ndarray]:
         rngs = {"dropout": rng} if (rng is not None and not deterministic) else None
         if collect_intermediates:
@@ -97,11 +98,13 @@ class LTHMModelWrapper(BaseModelWrapper):
                 variables,
                 self.format_inputs(batch),
                 deterministic=deterministic,
+                taps=taps,
                 rngs=rngs,
                 mutable=["intermediates"],
             )
         return self.module.apply(
-            variables, self.format_inputs(batch), deterministic=deterministic, rngs=rngs
+            variables, self.format_inputs(batch), deterministic=deterministic,
+            taps=taps, rngs=rngs
         )
 
     # ----- loss --------------------------------------------------------------
@@ -114,6 +117,7 @@ class LTHMModelWrapper(BaseModelWrapper):
         batch: Batch,
         rng: jax.Array,
         training: bool,
+        taps: Optional[Dict[str, jnp.ndarray]] = None,
     ) -> Tuple[jnp.ndarray, Tuple[Metrics, LTHMAuxState]]:
         fwd_rng, loss_rng = jax.random.split(rng)
         variables = {"params": params}
@@ -121,7 +125,7 @@ class LTHMModelWrapper(BaseModelWrapper):
             variables["constants"] = constants
         output, inter = self.forward(
             variables, batch, rng=fwd_rng, deterministic=not training,
-            collect_intermediates=True,
+            collect_intermediates=True, taps=taps,
         )
         cfg = self.config
         loss, metrics, new_logq = contrastive_step(
@@ -174,10 +178,83 @@ class LTHMModelWrapper(BaseModelWrapper):
     def _uses_rowwise_table(self) -> bool:
         cfg = self.config
         return (
-            cfg.table_optimizer in ("rowwise_adam", "lazy_rowwise_adam")
+            cfg.table_optimizer
+            in ("rowwise_adam", "lazy_rowwise_adam", "sparse_fused_adam")
             # a pretrained module lives in frozen constants — no table param
             and cfg.product_tower.model_init_metadata is None
         )
+
+    def uses_sparse_taps(self) -> bool:
+        """Fully sparse fused-record table path: the training step must
+        build tap cotangents (``make_taps``) and call
+        ``apply_sparse_table_update`` after the generic optimizer."""
+        return self.config.uses_fused_table()
+
+    def make_taps(self, batch: Batch) -> Dict[str, jnp.ndarray]:
+        """Zero perturbations added to the gathered embedding rows; their
+        gradient IS the compact per-(token, shift) row cotangent — the
+        sparse path's replacement for a dense (V, d) table gradient."""
+        cfg = self.config
+        ids = jnp.asarray(batch[self.module.ids_key])
+        k = cfg.product_tower.latent_model_config.num_shifts_latent
+        d = cfg.product_tower.inp_emb_dim
+        return {
+            "product_emb_rows": jnp.zeros(
+                (*ids.shape, k, d), jnp.dtype(cfg.compute_dtype)
+            )
+        }
+
+    def apply_sparse_table_update(
+        self, params, tap_grads, table_state, batch
+    ):
+        """One fused-record rowwise-Adam step on the touched rows — no
+        dense gradient, no full-table pass (train/sparse_table.py)."""
+        from recommendations_tpu.nn.embeddings import kshift_row_indices
+        from recommendations_tpu.train.sparse_table import (
+            sparse_fused_adam_update,
+        )
+
+        cfg = self.config
+        path = self._table_path(params)
+        flat_p = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+        record = flat_p[path]
+        ids = jnp.asarray(batch[self.module.ids_key])
+        k = cfg.product_tower.latent_model_config.num_shifts_latent
+        idx = kshift_row_indices(
+            ids, cfg.product_tower.latent_model_config.vocab_size_latent, k
+        )
+        g = tap_grads["product_emb_rows"]
+        d = g.shape[-1]
+        new_record, new_state = sparse_fused_adam_update(
+            record,
+            idx.reshape(-1),
+            g.reshape(-1, d),
+            table_state,
+            learning_rate=cfg.lr,
+            b1=cfg.betas[0],
+            b2=cfg.betas[1],
+        )
+
+        def put(p, leaf):
+            return new_record if p == path else leaf
+
+        new_params = jax.tree_util.tree_map_with_path(put, params)
+        return new_params, new_state
+
+    def nan_check_params(self, params: Any) -> Any:
+        """Tree for the per-step params_nan watchdog. The fused record is
+        excluded — a dense any-NaN over (V, 128) is a full-table pass (the
+        exact cost this path removes); its touched rows are NaN-checked
+        compactly by the update itself being finite-preserving, and the
+        tap-grad norm already feeds grad_norm."""
+        if not self.uses_sparse_taps():
+            return params
+        path = self._table_path(params)
+
+        def drop(p, leaf):
+            return jnp.zeros((), jnp.float32) if p == path else leaf
+
+        return jax.tree_util.tree_map_with_path(drop, params)
 
     def uses_lazy_table(self) -> bool:
         """Lazy row-sparse table updates (train/sparse_table): only rows the
@@ -204,10 +281,11 @@ class LTHMModelWrapper(BaseModelWrapper):
                 b2=cfg.betas[1],
             )
         }
-        if self.uses_lazy_table():
+        if self.uses_lazy_table() or self.uses_sparse_taps():
             # the table leaf updates OUTSIDE the generic optax path (the
-            # training step calls apply_lazy_table_update); set_to_zero
-            # keeps zero optax state and a foldable zero update for it
+            # training step calls apply_lazy_table_update /
+            # apply_sparse_table_update); set_to_zero keeps zero optax state
+            # and a foldable zero update for it
             groups[self._TABLE_GROUP] = optax.set_to_zero()
         elif self._uses_rowwise_table():
             from recommendations_tpu.train.optimizers import rowwise_adam
@@ -226,7 +304,11 @@ class LTHMModelWrapper(BaseModelWrapper):
         return paths[0]
 
     def init_table_state(self, params: Any):
-        """LazyRowState for the table leaf (None when not lazy)."""
+        """Lazy/fused table-update state (None for the dense paths)."""
+        if self.uses_sparse_taps():
+            from recommendations_tpu.train.sparse_table import FusedTableState
+
+            return FusedTableState(count=jnp.zeros((), jnp.int32))
         if not self.uses_lazy_table():
             return None
         from recommendations_tpu.train.sparse_table import init_lazy_row_state

@@ -174,24 +174,56 @@ class KShiftEmbedding(nn.Module):
     # 1M-row LTHM table). The f32 master table is cast once per step; the
     # table gradient comes back as one bf16→f32 convert.
     compute_dtype: Optional[jnp.dtype] = None
+    # fused-record sparse mode (train/sparse_table): the param is a (V, 128)
+    # f32 record [table d | m d | v 1 | pad] updated OUTSIDE autodiff — the
+    # lookup stops gradients to the record and routes the row cotangent
+    # through the compact ``tap`` argument instead (no dense (V, d) grad, no
+    # full-table cast: rows slice+cast AFTER the gather). Wins where dense
+    # table passes dominate (large V); see sparse_table.py for measurements.
+    fused_record: bool = False
 
     @nn.compact
-    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
-        table = self.param(
-            "embedding",
-            nn.initializers.normal(stddev=1.0),
-            (self.num_embeddings, self.features),
-            self.param_dtype,
-        )
-        if self.compute_dtype is not None:
-            table = table.astype(self.compute_dtype)
+    def __call__(
+        self, ids: jnp.ndarray, tap: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         idx = kshift_row_indices(ids, self.num_embeddings, self.num_shifts)
-        # gather whose backward is a two-level bucketed scatter-add
-        # (ops/bucketed_scatter): XLA's serialized scatter was ~10ms/step on
-        # the 1M-row LTHM table; on-chip per-bucket accumulation halves it
-        from recommendations_tpu.ops.bucketed_scatter import gather_rows
+        if self.fused_record:
+            from recommendations_tpu.train.sparse_table import (
+                RECORD_LANES, fused_record_init,
+            )
 
-        x = gather_rows(table, idx)  # (..., k, d)
+            record = self.param(
+                "embedding",
+                lambda key, _shape, _dtype=None: fused_record_init(
+                    key, self.num_embeddings, self.features
+                ),
+                (self.num_embeddings, RECORD_LANES),
+                jnp.float32,
+            )
+            rows = jnp.take(
+                jax.lax.stop_gradient(record), idx.astype(jnp.int32), axis=0
+            )[..., : self.features]
+            if self.compute_dtype is not None:
+                rows = rows.astype(self.compute_dtype)
+            if tap is not None:
+                rows = rows + tap.astype(rows.dtype)
+            x = rows
+        else:
+            table = self.param(
+                "embedding",
+                nn.initializers.normal(stddev=1.0),
+                (self.num_embeddings, self.features),
+                self.param_dtype,
+            )
+            if self.compute_dtype is not None:
+                table = table.astype(self.compute_dtype)
+            # gather whose backward is a two-level bucketed scatter-add
+            # (ops/bucketed_scatter): XLA's serialized scatter was ~10ms/step
+            # on the 1M-row LTHM table; on-chip per-bucket accumulation
+            # halves it
+            from recommendations_tpu.ops.bucketed_scatter import gather_rows
+
+            x = gather_rows(table, idx)  # (..., k, d)
         x = jnp.sum(x, axis=-2).astype(jnp.float32)
         if self.normalize_output:
             return l2_normalize(x)

@@ -89,6 +89,7 @@ def encode_catalog(
                     features=tc.inp_emb_dim,
                     num_shifts=tc.latent_model_config.num_shifts_latent,
                     normalize_output=tc.latent_model_config.normalize_embedding,
+                    fused_record=cfg.uses_fused_table(),
                     name="product_emb_module",
                 )(ids)
             _, prod_emb, _ = ProductTower(cfg, name="product_tower")(ids, embs)

@@ -138,34 +138,82 @@ class PjitTrainingStrategy(TrainingStrategy):
                 keys_out.extend(keys)
             return jnp.stack([metrics[k].astype(jnp.float32) for k in keys])
 
+        use_taps = getattr(wrapper, "uses_sparse_taps", lambda: False)()
+
         def train_step(state: TrainState, batch):
             rng, sub = jax.random.split(state.rng)
 
-            def loss_fn(params):
-                return wrapper.loss_and_metrics(
-                    params, state.constants, state.aux, batch, sub, True
-                )
+            if use_taps:
+                # fused-record sparse table path: differentiate w.r.t. the
+                # zero row-perturbations ("taps") instead of the stopped
+                # table record — the cotangent stays compact (tokens, k, d)
+                # and no dense (V, d) gradient ever materializes
+                taps0 = wrapper.make_taps(batch)
 
-            (loss, (metrics, new_aux)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
+                def loss_fn_t(params, taps):
+                    return wrapper.loss_and_metrics(
+                        params, state.constants, state.aux, batch, sub, True,
+                        taps=taps,
+                    )
+
+                (loss, (metrics, new_aux)), (grads, tap_grads) = (
+                    jax.value_and_grad(loss_fn_t, argnums=(0, 1), has_aux=True)(
+                        state.params, taps0
+                    )
+                )
+            else:
+                def loss_fn(params):
+                    return wrapper.loss_and_metrics(
+                        params, state.constants, state.aux, batch, sub, True
+                    )
+
+                (loss, (metrics, new_aux)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params)
+                tap_grads = None
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
             new_params = jax.tree_util.tree_map(
                 lambda p, u: p + u, state.params, updates
             )
             new_table_state = state.table_state
             if state.table_state is not None:
-                # lazy row-sparse table update (train/sparse_table): the
-                # table's generic optax update is a foldable zero; only the
-                # rows this batch touched are gathered, stepped, scattered
-                new_params, new_table_state = wrapper.apply_lazy_table_update(
-                    new_params, grads, state.table_state, batch
-                )
+                if use_taps:
+                    new_params, new_table_state = (
+                        wrapper.apply_sparse_table_update(
+                            new_params, tap_grads, state.table_state, batch
+                        )
+                    )
+                else:
+                    # lazy row-sparse table update (train/sparse_table): the
+                    # table's generic optax update is a foldable zero; only
+                    # the rows this batch touched are gathered, stepped,
+                    # scattered
+                    new_params, new_table_state = (
+                        wrapper.apply_lazy_table_update(
+                            new_params, grads, state.table_state, batch
+                        )
+                    )
             metrics = dict(metrics)
-            metrics["grad_norm"] = jax.tree_util.tree_reduce(
+            gsq = jax.tree_util.tree_reduce(
                 lambda a, x: a + jnp.sum(jnp.square(x)), grads, jnp.asarray(0.0)
-            ) ** 0.5
-            metrics["params_nan"] = _tree_any_nan(new_params).astype(jnp.float32)
+            )
+            if use_taps:
+                # table contribution via the compact tap cotangent. NOTE:
+                # this sums squares over DUPLICATE row occurrences, where a
+                # dense table grad would first sum duplicates per row — the
+                # norm differs on rows hit more than once per batch (both
+                # are monotone NaN/explosion signals, which is what the
+                # metric is for)
+                gsq = gsq + jax.tree_util.tree_reduce(
+                    lambda a, x: a + jnp.sum(jnp.square(x.astype(jnp.float32))),
+                    tap_grads, jnp.asarray(0.0),
+                )
+            metrics["grad_norm"] = gsq ** 0.5
+            nan_tree = (
+                wrapper.nan_check_params(new_params)
+                if hasattr(wrapper, "nan_check_params") else new_params
+            )
+            metrics["params_nan"] = _tree_any_nan(nan_tree).astype(jnp.float32)
             new_state = TrainState(
                 params=new_params,
                 constants=state.constants,

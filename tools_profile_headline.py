@@ -109,25 +109,46 @@ def main() -> int:
         for k, v in host_batch.items()
     }
 
+    use_taps = getattr(wrapper, "uses_sparse_taps", lambda: False)()
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, b):
         rng, sub = jax.random.split(state.rng)
 
-        def loss_fn(p):
-            return wrapper.loss_and_metrics(
-                p, state.constants, state.aux, b, sub, True
-            )
+        if use_taps:
+            taps0 = wrapper.make_taps(b)
 
-        (loss, (metrics, new_aux)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+            def loss_fn_t(p, taps):
+                return wrapper.loss_and_metrics(
+                    p, state.constants, state.aux, b, sub, True, taps=taps
+                )
+
+            (loss, (metrics, new_aux)), (grads, tap_grads) = (
+                jax.value_and_grad(loss_fn_t, argnums=(0, 1), has_aux=True)(
+                    state.params, taps0
+                )
+            )
+        else:
+            def loss_fn(p):
+                return wrapper.loss_and_metrics(
+                    p, state.constants, state.aux, b, sub, True
+                )
+
+            (loss, (metrics, new_aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_table_state = state.table_state
         if state.table_state is not None:
-            new_params, new_table_state = wrapper.apply_lazy_table_update(
-                new_params, grads, state.table_state, b
-            )
+            if use_taps:
+                new_params, new_table_state = wrapper.apply_sparse_table_update(
+                    new_params, tap_grads, state.table_state, b
+                )
+            else:
+                new_params, new_table_state = wrapper.apply_lazy_table_update(
+                    new_params, grads, state.table_state, b
+                )
         # the real strategy step also pays these full-tree passes
         grad_norm = jax.tree_util.tree_reduce(
             lambda a, x: a + jnp.sum(jnp.square(x)), grads, jnp.asarray(0.0)
