@@ -79,11 +79,15 @@ def main() -> int:
         # the Pallas fused CE wins at this chunk shape (N=8448: 55.8 vs
         # 58.0 ms/step, trace-verified r4); parity-tested vs the XLA oracle
         fused_ce=on_tpu,
-        # dense rowwise Adam: at 1M rows the dense update (~640MB, ~1ms)
-        # beats the lazy path's three compacted-row scatters (measured
-        # 709 vs 1147 ex/s) — lazy only wins at the 10M rung where dense
-        # traffic is 10x (bench_suite uses it there via the prod yaml)
-        table_optimizer="rowwise_adam",
+        # 'frozen' is reference parity (round-4 correction): the reference's
+        # product tower DETACHES its embedding input (product_tower.py:47),
+        # so the latent table's grad is structurally zero and torch never
+        # visits the param in AdamW (grad=None params are skipped). Rounds
+        # 1-3 ran 'rowwise_adam' here — a full dense moment rewrite every
+        # step updating nothing the loss could see. The trainable-table
+        # workload (detach off + sparse_fused_adam) is recorded separately
+        # as bench_suite's lthm_10m rung.
+        table_optimizer="frozen",
     )
     wrapper = LTHMModelWrapper(cfg)
 

@@ -140,7 +140,8 @@ def _make_state(wrapper, example, train_cfg=None):
     return state, optimizer
 
 
-def _lthm_wrapper(batch, seq, layers, d, vocab, flash, pos_bias=False):
+def _lthm_wrapper(batch, seq, layers, d, vocab, flash, pos_bias=False,
+                  table_optimizer="frozen", trainable_table=False):
     from recommendations_tpu.models.lthm.config import (
         LTHMModelConfig,
         LogQConfig,
@@ -165,6 +166,14 @@ def _lthm_wrapper(batch, seq, layers, d, vocab, flash, pos_bias=False):
             ),
         ),
         product_tower=ProductTowerConfig(
+            # trainable_table=False keeps reference parity: the reference's
+            # product tower detaches its embedding input
+            # (product_tower.py:47), making table grads structurally zero —
+            # so the honest parity table_optimizer is 'frozen' (rounds 2-3
+            # paid dense/lazy optimizer passes that updated nothing).
+            # trainable_table=True is the framework's trainable-table mode
+            # (detach off + sparse_fused_adam fused-record updates).
+            detach_item_tower=not trainable_table,
             inp_emb_dim=32, out_emb_dim=d, product_emb_dim=128,
             norm_bins=20,
             cosine_lsh_config=[
@@ -180,9 +189,7 @@ def _lthm_wrapper(batch, seq, layers, d, vocab, flash, pos_bias=False):
         context_width=seq,
         softmax_temperature=0.05,
         train_mini_batch_size=32,
-        # lazy row-sparse table updates (reference sparse=True semantics):
-        # the dense rowwise rewrite cost 10.2 ms/step at the 10M rung
-        table_optimizer="lazy_rowwise_adam",
+        table_optimizer=table_optimizer,
     )
     return LTHMModelWrapper(cfg)
 
@@ -211,18 +218,28 @@ def _device_batch(host_batch, mesh):
     }
 
 
-def _lthm_step_bench(batch, seq, layers, d, vocab, flash, steps, pos_bias=False):
+def _lthm_step_bench(batch, seq, layers, d, vocab, flash, steps, pos_bias=False,
+                     table_optimizer="frozen", trainable_table=False):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec
 
     from recommendations_tpu.core.mesh import MeshConfig, build_mesh
 
-    wrapper = _lthm_wrapper(batch, seq, layers, d, vocab, flash, pos_bias)
+    wrapper = _lthm_wrapper(batch, seq, layers, d, vocab, flash, pos_bias,
+                            table_optimizer=table_optimizer,
+                            trainable_table=trainable_table)
     host_batch = _lthm_host_batch(batch, seq)
     mesh = build_mesh(MeshConfig(data=-1))
     example = {k: np.asarray(v) for k, v in host_batch.items()}
     state, optimizer = _make_state(wrapper, example)
-    state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
+    # donate the placement copy: a plain device_put holds two live copies
+    # of the (V, 128) fused record (5 GB at V=10M) — over the tunneled
+    # v5e's single-op working-set budget
+    state = jax.jit(
+        lambda st: st,
+        out_shardings=NamedSharding(mesh, PartitionSpec()),
+        donate_argnums=0,
+    )(state)
     dbatch = _device_batch(host_batch, mesh)
     train_step = _train_step_fn(wrapper, optimizer)
     elapsed = _timed_steps(train_step, state, dbatch, steps)
@@ -233,10 +250,19 @@ def _lthm_step_bench(batch, seq, layers, d, vocab, flash, steps, pos_bias=False)
 
 
 def bench_lthm_10m(on_tpu):
+    # Round 4: this is now the TRAINABLE-table rung — detach off +
+    # sparse_fused_adam, i.e. the 10M-row table actually receives and
+    # applies gradients every step (fully sparse fused-record updates).
+    # Rounds 2-3 recorded this rung with the table silently frozen
+    # (bench-step bug) AND with reference-parity detach making table grads
+    # structurally zero — both fictions; numbers are not comparable.
     b, s, layers, d, vocab = (64, 256, 6, 512, 10_000_000) if on_tpu else (
         8, 32, 2, 64, 100_000
     )
-    v = _lthm_step_bench(b, s, layers, d, vocab, flash=on_tpu, steps=20 if on_tpu else 3)
+    v = _lthm_step_bench(b, s, layers, d, vocab, flash=on_tpu,
+                         steps=20 if on_tpu else 3,
+                         table_optimizer="sparse_fused_adam",
+                         trainable_table=True)
     return {
         "metric": "lthm_10m_train_examples_per_sec_per_chip",
         "value": round(v, 2), "unit": "examples/s/chip",

@@ -209,9 +209,14 @@ class LTHMModelConfig(ModelConfig):
     # live in one (V, 128) record, the gradient stays compact (tap
     # cotangent), and the step is one row gather + one row scatter
     # (train/sparse_table.py — the large-V path); 'adamw': table joins the
-    # generic dense AdamW group
+    # generic dense AdamW group; 'frozen': no table updates at all — the
+    # HONEST parity setting: the reference detaches the product tower input
+    # (product_tower.py:47), so with detach_item_tower=True the table's
+    # gradient is structurally zero and torch skips grad-less params in its
+    # optimizer — paying dense moment passes for it here was pure waste
     table_optimizer: Literal[
-        "rowwise_adam", "lazy_rowwise_adam", "sparse_fused_adam", "adamw"
+        "rowwise_adam", "lazy_rowwise_adam", "sparse_fused_adam", "adamw",
+        "frozen"
     ] = "rowwise_adam"
     # contrastive-CE implementation: the XLA formulation (module-level
     # custom VJP + bf16 logits storage, loss.py:_ce_core) measures a wash

@@ -179,7 +179,8 @@ class LTHMModelWrapper(BaseModelWrapper):
         cfg = self.config
         return (
             cfg.table_optimizer
-            in ("rowwise_adam", "lazy_rowwise_adam", "sparse_fused_adam")
+            in ("rowwise_adam", "lazy_rowwise_adam", "sparse_fused_adam",
+                "frozen")
             # a pretrained module lives in frozen constants — no table param
             and cfg.product_tower.model_init_metadata is None
         )
@@ -281,7 +282,11 @@ class LTHMModelWrapper(BaseModelWrapper):
                 b2=cfg.betas[1],
             )
         }
-        if self.uses_lazy_table() or self.uses_sparse_taps():
+        if self.config.table_optimizer == "frozen":
+            # structurally zero grads (reference detach parity): exclude the
+            # table from updates entirely — zero optimizer state, zero cost
+            groups[self._TABLE_GROUP] = optax.set_to_zero()
+        elif self.uses_lazy_table() or self.uses_sparse_taps():
             # the table leaf updates OUTSIDE the generic optax path (the
             # training step calls apply_lazy_table_update /
             # apply_sparse_table_update); set_to_zero keeps zero optax state

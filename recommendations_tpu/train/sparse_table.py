@@ -59,18 +59,28 @@ class FusedTableState(NamedTuple):
 
 def fused_record_init(key, num_embeddings: int, features: int,
                       stddev: float = 1.0) -> jnp.ndarray:
-    """(V, 128) f32 record: table cols normal-init, moments/pad zero."""
+    """(V, 128) f32 record: table cols normal-init, moments/pad zero.
+
+    Built as one fused zeros + dynamic_update_slice under jit — an eager
+    concat holds inputs AND output live (10.2 GB at V=10M), which exceeds
+    the single-op working-set budget on the tunneled v5e (observed
+    RESOURCE_EXHAUSTED / allocation stalls); the fused form peaks at the
+    output + table block only.
+    """
     if 2 * features + 1 > RECORD_LANES:
         raise ValueError(
             f"fused record needs 2*d+1 <= {RECORD_LANES}, got d={features}"
         )
-    table = stddev * jax.random.normal(
-        key, (num_embeddings, features), jnp.float32
-    )
-    pad = jnp.zeros(
-        (num_embeddings, RECORD_LANES - features), jnp.float32
-    )
-    return jnp.concatenate([table, pad], axis=1)
+
+    @jax.jit
+    def _build(k):
+        rec = jnp.zeros((num_embeddings, RECORD_LANES), jnp.float32)
+        table = stddev * jax.random.normal(
+            k, (num_embeddings, features), jnp.float32
+        )
+        return jax.lax.dynamic_update_slice(rec, table, (0, 0))
+
+    return _build(key)
 
 
 def fused_record_table(record: jnp.ndarray, features: int) -> jnp.ndarray:

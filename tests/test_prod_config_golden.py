@@ -59,9 +59,14 @@ def test_prod_shaped_sharded_step():
     overrides = {
         "model": {
             "shard_embedding_rows": True,
+            # the prod yaml defaults to table_optimizer: frozen (reference
+            # detach parity, r4); this test pins the TRAINABLE sharded-table
+            # mode — rowwise moments co-sharded with the table rows
+            "table_optimizer": "rowwise_adam",
             "context_width": 32,
             "transformer_config": {"num_layers": 2},
             "product_tower": {
+                "detach_item_tower": False,
                 "latent_model_config": {"vocab_size_latent": 4096},
             },
             "log_q_config": {"num_buckets": 4096, "hash_offsets": [0, 7]},

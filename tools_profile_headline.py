@@ -48,6 +48,11 @@ def main() -> int:
     ap.add_argument("--table-optimizer", default=None,
                     help="override table_optimizer (e.g. lazy_rowwise_adam "
                          "to profile the 10M rung's update path)")
+    ap.add_argument("--trainable", action="store_true",
+                    help="detach_item_tower=False: the latent table actually "
+                         "trains (without it the reference-parity detach "
+                         "makes table grads symbolic zeros that XLA folds, "
+                         "understating table-update costs)")
     args = ap.parse_args()
 
     batch, seq, layers, d, vocab = 64, 256, 6, 512, args.vocab
@@ -62,6 +67,7 @@ def main() -> int:
             ),
         ),
         product_tower=ProductTowerConfig(
+            detach_item_tower=not args.trainable,
             inp_emb_dim=32, out_emb_dim=d, product_emb_dim=128, norm_bins=20,
             cosine_lsh_config=[
                 {"num_bins": nb, "num_proj": 32} for nb in (2, 4, 8, 12, 16, 20)
@@ -103,7 +109,9 @@ def main() -> int:
         jax.random.PRNGKey(1), table_state=table_state,
     )
     repl = NamedSharding(mesh, PartitionSpec())
-    state = jax.device_put(state, repl)
+    # donate the placement copy — a plain device_put duplicates the fused
+    # (V, 128) record (5 GB at V=10M) and can over-subscribe HBM
+    state = jax.jit(lambda s: s, out_shardings=repl, donate_argnums=0)(state)
     dbatch = {
         k: jax.device_put(jnp.asarray(v), NamedSharding(mesh, PartitionSpec("data")))
         for k, v in host_batch.items()
