@@ -32,6 +32,19 @@ class LTHMModelWrapper(BaseModelWrapper):
         self.config = model_config
         self.stats = stats
         self.module = LTHMEncoder(model_config)
+        if (
+            model_config.uses_fused_table()
+            and model_config.product_tower.latent_model_config.vocab_size_latent
+            < 2_000_000
+        ):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "table_optimizer=sparse_fused_adam below ~2M rows: the dense "
+                "rowwise_adam path measures faster at this size (1075 vs 986 "
+                "ex/s at 1M on v5e, QUALITY.md round 4) — sparse wins only "
+                "where dense table passes dominate (10M rows: 881 vs 722)."
+            )
 
     def bind_mesh(self, mesh) -> None:
         """Attach the device mesh (needed for row-sharded embedding tables
