@@ -7,6 +7,9 @@ Prints one JSON line per variant.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
 import json
 import sys
 import time

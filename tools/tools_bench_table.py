@@ -28,6 +28,8 @@ import time
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import recommendations_tpu  # noqa: F401
 import jax
 import jax.numpy as jnp

@@ -34,6 +34,9 @@ Writes /tmp/joint_quality/result.json and prints a summary.
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
 import argparse
 import json
 import os

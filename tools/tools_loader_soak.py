@@ -20,6 +20,9 @@ Usage: python tools_loader_soak.py [--minutes 30] [--dates 8] [--files 32]
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
 import argparse
 import json
 import os

@@ -17,6 +17,8 @@ bench_suite._timed_steps).
 """
 import time
 import numpy as np
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import recommendations_tpu  # noqa: F401
 import jax, jax.numpy as jnp
 from recommendations_tpu.nn.embeddings import KShiftEmbedding

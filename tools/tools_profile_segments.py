@@ -21,6 +21,8 @@ scatter into VMEM-sized slices — future work).
 """
 import time
 import numpy as np
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import recommendations_tpu
 import jax, jax.numpy as jnp
 from recommendations_tpu.models.lthm.config import (
