@@ -78,7 +78,7 @@ def _train_step_fn(wrapper, optimizer):
         new_table_state = state.table_state
         if state.table_state is not None:
             if use_taps:
-                new_params, new_table_state = wrapper.apply_sparse_table_update(
+                new_params, new_table_state, _rows_nan = wrapper.apply_sparse_table_update(
                     new_params, tap_grads, state.table_state, b
                 )
             else:

@@ -32,18 +32,36 @@ class LTHMModelWrapper(BaseModelWrapper):
         self.config = model_config
         self.stats = stats
         self.module = LTHMEncoder(model_config)
+        import logging
+
+        log = logging.getLogger(__name__)
         if (
             model_config.uses_fused_table()
             and model_config.product_tower.latent_model_config.vocab_size_latent
             < 2_000_000
         ):
-            import logging
-
-            logging.getLogger(__name__).warning(
+            log.warning(
                 "table_optimizer=sparse_fused_adam below ~2M rows: the dense "
                 "rowwise_adam path measures faster at this size (1075 vs 986 "
                 "ex/s at 1M on v5e, QUALITY.md round 4) — sparse wins only "
-                "where dense table passes dominate (10M rows: 881 vs 722)."
+                "where dense table passes dominate (10M rows: 881 vs 722). "
+                "table_optimizer: auto encodes the measured dispatch."
+            )
+        if (
+            model_config.table_optimizer == "sparse_fused_adam"
+            and model_config.shard_embedding_rows
+        ):
+            # the fused (V, 128) record is single-device; row-sharded tables
+            # fall back to the dense co-sharded rowwise path, which has
+            # DIFFERENT update semantics (untouched-row moment decay every
+            # step) — say so instead of switching silently (ADVICE r4 #2)
+            log.warning(
+                "table_optimizer=sparse_fused_adam with "
+                "shard_embedding_rows=True falls back to dense rowwise_adam "
+                "co-sharded with the rows (the fused record path is "
+                "single-device). Note the semantics differ: the dense path "
+                "decays every row's moments each step, the fused path only "
+                "touched rows'."
             )
 
     def bind_mesh(self, mesh) -> None:
@@ -191,7 +209,7 @@ class LTHMModelWrapper(BaseModelWrapper):
     def _uses_rowwise_table(self) -> bool:
         cfg = self.config
         return (
-            cfg.table_optimizer
+            cfg.resolved_table_optimizer()
             in ("rowwise_adam", "lazy_rowwise_adam", "sparse_fused_adam",
                 "frozen")
             # a pretrained module lives in frozen constants — no table param
@@ -222,7 +240,11 @@ class LTHMModelWrapper(BaseModelWrapper):
         self, params, tap_grads, table_state, batch
     ):
         """One fused-record rowwise-Adam step on the touched rows — no
-        dense gradient, no full-table pass (train/sparse_table.py)."""
+        dense gradient, no full-table pass (train/sparse_table.py).
+
+        Returns ``(new_params, new_table_state, rows_nan)``; the strategy
+        folds ``rows_nan`` into the params_nan watchdog metric (the dense
+        watchdog excludes the fused record — nan_check_params)."""
         from recommendations_tpu.nn.embeddings import kshift_row_indices
         from recommendations_tpu.train.sparse_table import (
             sparse_fused_adam_update,
@@ -239,7 +261,7 @@ class LTHMModelWrapper(BaseModelWrapper):
         )
         g = tap_grads["product_emb_rows"]
         d = g.shape[-1]
-        new_record, new_state = sparse_fused_adam_update(
+        new_record, new_state, rows_nan = sparse_fused_adam_update(
             record,
             idx.reshape(-1),
             g.reshape(-1, d),
@@ -253,14 +275,16 @@ class LTHMModelWrapper(BaseModelWrapper):
             return new_record if p == path else leaf
 
         new_params = jax.tree_util.tree_map_with_path(put, params)
-        return new_params, new_state
+        return new_params, new_state, rows_nan
 
     def nan_check_params(self, params: Any) -> Any:
         """Tree for the per-step params_nan watchdog. The fused record is
         excluded — a dense any-NaN over (V, 128) is a full-table pass (the
-        exact cost this path removes); its touched rows are NaN-checked
-        compactly by the update itself being finite-preserving, and the
-        tap-grad norm already feeds grad_norm."""
+        exact cost this path removes). Its coverage comes from the compact
+        ``rows_nan`` bit ``apply_sparse_table_update`` returns (any
+        non-finite value in the rows being written this step, re-tripped
+        whenever a poisoned row is touched again), which the strategy ORs
+        into the params_nan metric (ADVICE r4 #1)."""
         if not self.uses_sparse_taps():
             return params
         path = self._table_path(params)
@@ -278,7 +302,7 @@ class LTHMModelWrapper(BaseModelWrapper):
         rung (measured) vs <=2% of rows actually touched."""
         cfg = self.config
         return (
-            cfg.table_optimizer == "lazy_rowwise_adam"
+            cfg.resolved_table_optimizer() == "lazy_rowwise_adam"
             and cfg.product_tower.model_init_metadata is None
             # row-sharded tables keep the dense rowwise path (their moments
             # are co-sharded with rows; a sharded lazy scatter is untested)
@@ -295,7 +319,7 @@ class LTHMModelWrapper(BaseModelWrapper):
                 b2=cfg.betas[1],
             )
         }
-        if self.config.table_optimizer == "frozen":
+        if self.config.resolved_table_optimizer() == "frozen":
             # structurally zero grads (reference detach parity): exclude the
             # table from updates entirely — zero optimizer state, zero cost
             groups[self._TABLE_GROUP] = optax.set_to_zero()

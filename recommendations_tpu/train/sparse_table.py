@@ -111,6 +111,15 @@ def sparse_fused_adam_update(
     dropped-gradient case: every distinct touched row updates every step.
     Semantics otherwise match (global-count bias correction, no decay of
     untouched moments, no weight decay).
+
+    Returns ``(new_record, new_state, rows_nan)`` — ``rows_nan`` is a bool
+    scalar: any non-finite value among the rows being written this step.
+    The dense params_nan watchdog deliberately excludes the (V, 128) record
+    (a full-table any-NaN pass is the exact cost this path removes); this
+    compact check covers the only rows that CHANGE, so the step a NaN
+    enters the table is flagged — and, because a poisoned row re-trips the
+    check whenever it is touched again, a persisted NaN cannot ride
+    undetected through later steps that use it (ADVICE r4 #1).
     """
     v_rows, lanes = record.shape
     m = idx_flat.shape[0]
@@ -160,7 +169,10 @@ def sparse_fused_adam_update(
         [new_t, new_m, new_v, rows[:, 2 * d + 1 :]], axis=1
     )
     new_record = record.at[uidx].set(new_rows, mode="drop")
-    return new_record, FusedTableState(count=count)
+    rows_nan = jnp.any(
+        ~jnp.isfinite(new_rows) & is_end[:, None]
+    )
+    return new_record, FusedTableState(count=count), rows_nan
 
 
 class LazyRowState(NamedTuple):

@@ -66,11 +66,12 @@ def test_fused_update_matches_oracle_with_duplicates():
     g = jnp.asarray(rs.randn(m, d), jnp.float32)
     state = FusedTableState(count=jnp.asarray(3, jnp.int32))
 
-    new_rec, new_state = jax.jit(
+    new_rec, new_state, rows_nan = jax.jit(
         lambda r, i, gg, s: sparse_fused_adam_update(
             r, i, gg, s, learning_rate=LR, b1=B1, b2=B2, eps=EPS
         )
     )(record, idx, g, state)
+    assert not bool(rows_nan)
 
     want = _oracle(record, idx, g, 3, d)
     np.testing.assert_allclose(

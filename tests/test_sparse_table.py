@@ -172,3 +172,116 @@ def test_lthm_trains_with_lazy_table():
     # most of the 2048-row table was never touched by 32 examples
     m = np.asarray(state.table_state.m)
     assert (np.abs(m).sum(axis=1) == 0).mean() > 0.5
+
+
+# ---------------------------------------------------------------------------
+# table_optimizer: auto — the measured dispatch rule as config (VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+
+
+def _cfg(vocab, detach=False, shard=False, table_optimizer="auto",
+         pretrained=None):
+    from recommendations_tpu.models.lthm.config import LTHMModelConfig
+
+    return LTHMModelConfig(
+        features={"defaults": {}},
+        transformer_config={
+            "rotator_config": {"ff_mult": 2},
+            "is_causal": True,
+            "num_layers": 1,
+            "attn_config": {"n_head": 2, "n_embd": 16},
+        },
+        product_tower={
+            "inp_emb_dim": 8,
+            "out_emb_dim": 16,
+            "product_emb_dim": 8,
+            "detach_item_tower": detach,
+            "latent_model_config": {
+                "vocab_size_latent": vocab, "num_shifts_latent": 2,
+            },
+            **({"model_init_metadata": pretrained} if pretrained else {}),
+        },
+        shard_embedding_rows=shard,
+        table_optimizer=table_optimizer,
+    )
+
+
+def test_auto_dispatch_table():
+    """Pins the measured dispatch (QUALITY.md r4): frozen under detach,
+    rowwise below 2M rows, sparse_fused at/above, dense co-sharded when
+    row-sharded."""
+    # detach (reference parity): structurally-zero table grads -> frozen
+    assert _cfg(10_000_000, detach=True).resolved_table_optimizer() == "frozen"
+    assert _cfg(1_000, detach=True).resolved_table_optimizer() == "frozen"
+    # pretrained module: table lives in frozen constants
+    assert (
+        _cfg(1_000, pretrained={"embedding_module_path": "/tmp/x"})
+        .resolved_table_optimizer()
+        == "frozen"
+    )
+    # trainable, small: dense rowwise wins (1075 vs 986 ex/s at 1M)
+    assert _cfg(1_000_000).resolved_table_optimizer() == "rowwise_adam"
+    # trainable, large: fused-record sparse wins (881 vs 722 at 10M)
+    assert _cfg(2_000_000).resolved_table_optimizer() == "sparse_fused_adam"
+    assert _cfg(10_000_000).resolved_table_optimizer() == "sparse_fused_adam"
+    # row-sharded tables keep the dense co-sharded path at any size
+    assert _cfg(10_000_000, shard=True).resolved_table_optimizer() == "rowwise_adam"
+    # explicit choices resolve to themselves
+    assert _cfg(1_000, table_optimizer="adamw").resolved_table_optimizer() == "adamw"
+    assert (
+        _cfg(50_000, table_optimizer="lazy_rowwise_adam")
+        .resolved_table_optimizer()
+        == "lazy_rowwise_adam"
+    )
+
+
+def test_lazy_hard_gated_at_scale():
+    """lazy_rowwise_adam at V>=5M hard-errors (969 ms/step nonzero-over-V
+    scan at 10M, measured) instead of silently training 10x slower."""
+    import pytest
+
+    with pytest.raises(Exception, match="lazy_rowwise_adam"):
+        _cfg(10_000_000, table_optimizer="lazy_rowwise_adam")
+    # small tables stay allowed
+    _cfg(50_000, table_optimizer="lazy_rowwise_adam")
+
+
+def test_auto_resolution_is_call_time():
+    """Flipping detach after construction re-resolves (tests/tools rely on
+    mutating the pydantic config post-hoc)."""
+    cfg = _cfg(10_000_000, detach=True)
+    assert cfg.resolved_table_optimizer() == "frozen"
+    cfg.product_tower.detach_item_tower = False
+    assert cfg.resolved_table_optimizer() == "sparse_fused_adam"
+
+
+def test_fused_update_rows_nan_bit():
+    """A NaN tap-gradient trips the compact rows_nan flag the step it is
+    written, and a poisoned row re-trips when touched again (ADVICE r4 #1)."""
+    from recommendations_tpu.train.sparse_table import (
+        FusedTableState,
+        fused_record_init,
+        sparse_fused_adam_update,
+    )
+
+    d = 8
+    rec = fused_record_init(jax.random.PRNGKey(0), 64, d)
+    idx = jnp.asarray([3, 5], jnp.int32)
+    g = jnp.ones((2, d), jnp.float32)
+    state = FusedTableState(count=jnp.zeros((), jnp.int32))
+    step = jax.jit(
+        lambda r, i, gg, s: sparse_fused_adam_update(
+            r, i, gg, s, learning_rate=0.1
+        )
+    )
+    rec1, state1, nan1 = step(rec, idx, g, state)
+    assert not bool(nan1)
+    g_bad = g.at[1, 0].set(jnp.nan)
+    rec2, state2, nan2 = step(rec1, idx, g_bad, state1)
+    assert bool(nan2)
+    # row 5 is now poisoned; a later CLEAN step touching it re-trips
+    rec3, _, nan3 = step(rec2, idx, g, state2)
+    assert bool(nan3)
+    # ...but a clean step touching only healthy rows does not
+    _, _, nan4 = step(rec2, jnp.asarray([3, 7], jnp.int32), g, state2)
+    assert not bool(nan4)
