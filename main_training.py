@@ -36,6 +36,19 @@ CONFIG_ROOT = Path(__file__).parent / "configs"
 
 
 def execute_pipeline(cfg, return_pipeline: bool = False):
+    from recommendations_tpu.pipeline.joint_pipeline import (
+        JointPipelineConfig,
+        JointTrainerPipeline,
+    )
+
+    if isinstance(cfg, JointPipelineConfig):
+        # two-stage retrieval→ranking product path (BASELINE config 4)
+        pipeline = JointTrainerPipeline(cfg)
+        metrics = pipeline.execute()
+        if return_pipeline:
+            return pipeline, metrics
+        return metrics
+
     stats = None
     if getattr(cfg, "stats", None) is not None and cfg.stats.compute_stats:
         from recommendations_tpu.data.paths import get_train_data_paths
@@ -73,10 +86,16 @@ def main(argv=None) -> int:
     config_path = Path(args.config_dir) / f"{args.config_name}.yaml"
     overrides = parse_cli_overrides(args.overrides)
     cfg = load_config(config_path, overrides=overrides, search_paths=[args.config_dir])
-    logger.info(
-        "model=%s/%s strategy=%s", cfg.model.kind.value, cfg.model.name,
-        cfg.training_strategy.name,
-    )
+    if hasattr(cfg, "model"):
+        logger.info(
+            "model=%s/%s strategy=%s", cfg.model.kind.value, cfg.model.name,
+            cfg.training_strategy.name,
+        )
+    else:
+        logger.info(
+            "joint pipeline: retrieval=%s ranking=%s",
+            cfg.retrieval.model.name, cfg.ranking.model.name,
+        )
     metrics = execute_pipeline(cfg)
     logger.info("final metrics: %s", {k: round(v, 5) for k, v in metrics.items() if isinstance(v, float)})
     return 0

@@ -146,10 +146,33 @@ def load_config(
     overrides: Optional[Dict[str, Any]] = None,
     search_paths: Optional[List[Union[str, Path]]] = None,
 ):
-    """Compose YAML then validate into the pydantic root config."""
+    """Compose YAML then validate into the pydantic root config.
+
+    A top-level ``joint: true`` key selects the two-stage retrieval→ranking
+    pipeline config (``pipeline/joint_pipeline.py``, BASELINE config 4);
+    everything else is the single-model trainer config."""
     from recommendations_tpu.config.pipeline_config import TrainerPipelineConfig
 
     data = compose_config(config_path, overrides, search_paths)
+    if data.get("joint"):
+        from recommendations_tpu.pipeline.joint_pipeline import (
+            JointPipelineConfig,
+        )
+
+        # each stage may reference an existing single-model config by name
+        # ({config_name: lthm_tiny, overrides: {...}}) instead of inlining
+        # the whole pipeline dict — composed with the same search paths
+        base_dir = Path(config_path).parent
+        for stage in ("retrieval", "ranking"):
+            sec = data.get(stage)
+            if isinstance(sec, dict) and "config_name" in sec:
+                stage_path = base_dir / f"{sec['config_name']}.yaml"
+                composed = compose_config(
+                    stage_path, sec.get("overrides"), search_paths
+                )
+                composed.pop("joint", None)
+                data[stage] = composed
+        return JointPipelineConfig(**data)
     return TrainerPipelineConfig(**data)
 
 

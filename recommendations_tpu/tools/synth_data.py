@@ -216,3 +216,72 @@ if __name__ == "__main__":
         args.history_len, args.num_products,
     )
     print(f"wrote {len(out)} files under {args.root}")
+
+
+# ---------------------------------------------------------------------------
+# Joint retrieval→ranking synthetic data (BASELINE config 4)
+#
+# Impressions whose click depends on the MATCH between the user's latent
+# taste cluster and the product's cluster. The user's cluster is carried
+# ONLY by their interaction history, so a ranker can realize the match term
+# only through the retrieval encoder's embeddings — the signal the joint
+# pipeline's uplift measures (tools/tools_joint_quality.py proved +0.095
+# held-out-user AUC on this construction; QUALITY.md r4).
+# ---------------------------------------------------------------------------
+
+
+def product_clusters(num_products: int, num_clusters: int,
+                     structure_seed: int = 777) -> np.ndarray:
+    """The synthetic catalog's fixed product->cluster map (same
+    structure_seed as make_click_log, so both logs share the catalog)."""
+    struct = np.random.RandomState(structure_seed)
+    return struct.randint(0, num_clusters, size=num_products)
+
+
+def user_cluster_map(click_df: pd.DataFrame, num_products: int,
+                     num_clusters: int) -> dict:
+    """user -> majority cluster of their history (recovers the generator's
+    latent draw; histories are ~97% in-cluster)."""
+    cop = product_clusters(num_products, num_clusters)
+    out = {}
+    for _, row in click_df.iterrows():
+        pids = [int(p.split("_")[1]) for p in row["product_ids"] if p]
+        if not pids:
+            continue
+        out[row["customer_id"]] = int(
+            np.bincount(cop[pids], minlength=num_clusters).argmax()
+        )
+    return out
+
+
+def make_cluster_ranking_log(user_cluster: dict, users: list,
+                             num_products: int, num_clusters: int,
+                             num_rows: int, seed: int = 0,
+                             match_coef: float = 4.0):
+    """Impressions whose click depends on user-cluster == product-cluster.
+    Product quality and price are learnable without the user signal; the
+    match term is not. Returns (DataFrame, refs) where refs carries the
+    Bayes / product-only reference logits for ceiling calibration."""
+    cop = product_clusters(num_products, num_clusters)
+    struct = np.random.RandomState(778)
+    quality = struct.randn(num_products) * 0.8
+
+    rng = np.random.RandomState(seed)
+    u_idx = rng.randint(0, len(users), num_rows)
+    p_idx = rng.randint(0, num_products, num_rows)
+    u_cl = np.array([user_cluster[users[u]] for u in u_idx])
+    match = (u_cl == cop[p_idx]).astype(np.float32)
+    price = np.abs(rng.randn(num_rows) * 40 + 30).astype(np.float32)
+    logits = quality[p_idx] + match_coef * match - 0.004 * price - 1.8
+    click = (rng.rand(num_rows) < 1 / (1 + np.exp(-logits))).astype(np.float32)
+    df = pd.DataFrame({
+        "product_id": [f"sku_{p}" for p in p_idx],
+        "customer_id": [users[u] for u in u_idx],
+        "price": price,
+        "click": click,
+    })
+    refs = {
+        "true_logit": logits,
+        "product_only_logit": quality[p_idx] - 0.004 * price,
+    }
+    return df, refs

@@ -203,7 +203,7 @@ def main() -> int:
 
     # --- 1. train LTHM on the real pipeline, with KNN eval on -------------
     cfg = load_config(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "configs", "lthm_tiny.yaml"),
         overrides={
             "dataset": {
@@ -480,7 +480,7 @@ def main() -> int:
 
     # record the joint throughput as a bench-suite rung (BASELINE rung 4)
     # and persist the quality evidence next to the other round artifacts
-    repo = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     suite_path = os.path.join(repo, "BENCH_SUITE.json")
     existing = {}
     if os.path.exists(suite_path):

@@ -70,7 +70,7 @@ def main() -> int:
 
     # reuse the tiny config's feature schema, pointed at the soak store
     cfg = load_config(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "configs", "lthm_tiny.yaml"),
         overrides={
             "dataset": {
