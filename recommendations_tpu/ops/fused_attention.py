@@ -55,8 +55,10 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _positions(tile_rows: int, cols: int, row0):
-    q_pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, cols), 0)
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, cols), 1)
+    """(R, 1) / (1, C) position VECTORS — masks reach tile width only via
+    broadcast compares (a 2D iota costs a full-tile VPU pass each)."""
+    q_pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 1), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
     return q_pos, k_pos
 
 
@@ -71,6 +73,16 @@ def _mm(a, b, dims):
 # (tile, 512) f32 — unrolled 32-head loops with ~(256, 768)+ logits buffers
 # crash this Mosaic build (compiler blow-up, no diagnostic)
 KV_CHUNK = 512
+
+# Causal-triangle row blocks: TRIED AND REVERTED (round 5). Static row
+# blocks with growing column extents skip ~45% of the (T, T) square the
+# causal mask kills — but measured SLOWER at the headline shape (attention
+# kernels 16.4 → 20.1 ms/step, trace-verified): at T=272 a full-tile VPU
+# pass is only ~100 cycles, so these kernels are per-pass-overhead-bound,
+# not area-bound, and cutting the area while tripling the pass count loses.
+# (The fused-CE zero-padding fix measured the same way: −9% GEMM area,
+# ±0 ms.) Bigger fused regions, not smaller smarter ones, are the lever at
+# this geometry.
 
 # Sequences above KV_CHUNK run the 3D-grid path: the KV axis is a grid
 # dimension (Mosaic double-buffers the K/V chunk DMAs across steps) with
@@ -110,12 +122,15 @@ def fused_flash_bias_recommended(seq_len: int) -> bool:
 
 
 def _chunk_mask(rows: int, cols: int, row0, col0, seq_len: int, causal: bool):
-    q_pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
-    k_pos = col0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    mask = k_pos < jnp.int32(seq_len)
+    """Vector-iota mask build: positions live on (R, 1)/(1, C) vectors; only
+    the causal compare is a tile-wide pass, and the k-bound rides it (or
+    stays a (1, C) vector broadcast in the non-causal case)."""
+    q_pos = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    k_pos = col0 + jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
+    kv_ok = k_pos < jnp.int32(seq_len)  # (1, C) vector
     if causal:
-        mask = mask & (k_pos <= q_pos)
-    return mask
+        return kv_ok & (k_pos <= q_pos)
+    return kv_ok  # consumers broadcast (1, C) against (R, C) tiles
 
 
 def _fwd_kernel(
@@ -149,7 +164,9 @@ def _fwd_kernel(
     for h in range(n_head):
         sl = slice(h * hd, (h + 1) * hd)
         ksl = slice(0, hd) if kvh == 1 else sl
-        qh = q_ref[0][:, sl]
+        # fold the softmax scale into the (tile, hd) operand: one tiny mul
+        # instead of a full (tile, T) VPU pass on the GEMM output per chunk
+        qh = q_ref[0][:, sl].astype(jnp.float32) * scale
 
         # online-softmax recurrence over KV chunks (flash forward)
         def chunk_step(c, carry):
@@ -157,7 +174,7 @@ def _fwd_kernel(
             c0 = c * jnp.int32(kc_size)
             kc = k_ref[0, pl.ds(c0, kc_size), ksl]
             vc = v_ref[0, pl.ds(c0, kc_size), ksl]
-            s = _mm(qh, kc, ((1,), (1,))) * scale
+            s = _mm(qh.astype(kc.dtype), kc, ((1,), (1,)))
             mask = (
                 mask0
                 if mask0 is not None
@@ -221,7 +238,8 @@ def _dq_kernel(
     for h in range(n_head):
         sl = slice(h * hd, (h + 1) * hd)
         ksl = slice(0, hd) if kvh == 1 else sl
-        qh = q_ref[0][:, sl]
+        # scale folded into the small q operand (see _fwd_kernel)
+        qh = (q_ref[0][:, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
         doh = do_ref[0][:, sl]
         lse_h = lse_ref[0][:, h : h + 1]
         d_h = dcol_ref[0][:, h : h + 1]
@@ -230,7 +248,7 @@ def _dq_kernel(
             c0 = c * jnp.int32(kc_size)
             kc = k_ref[0, pl.ds(c0, kc_size), ksl]
             vc = v_ref[0, pl.ds(c0, kc_size), ksl]
-            s = _mm(qh, kc, ((1,), (1,))) * scale
+            s = _mm(qh, kc, ((1,), (1,)))
             mask = (
                 mask0
                 if mask0 is not None
@@ -273,7 +291,11 @@ def _dkv_kernel(
     for h in range(n_head):
         sl = slice(h * hd, (h + 1) * hd)
         ksl = slice(0, hd) if kvh == 1 else sl
-        kf = k_ref[0][:, ksl]  # (tile_k, hd)
+        # scale folded into the small k operand (see _fwd_kernel); dk's own
+        # trailing * scale compensation is unchanged below
+        kf = (
+            k_ref[0][:, ksl].astype(jnp.float32) * scale
+        ).astype(k_ref.dtype)  # (tile_k, hd), pre-scaled
         vf = v_ref[0][:, ksl]
 
         # chunk over query rows: buffers stay (qc_size, tile_k)
@@ -284,7 +306,7 @@ def _dkv_kernel(
             doh = do_ref[0, pl.ds(r0, qc_size), sl]
             lse_h = lse_ref[0, pl.ds(r0, qc_size), h : h + 1]
             d_h = dcol_ref[0, pl.ds(r0, qc_size), h : h + 1]
-            s = _mm(qh, kf, ((1,), (1,))) * scale  # (qc, tile_k)
+            s = _mm(qh, kf, ((1,), (1,)))  # (qc, tile_k)
             mask = (
                 mask0
                 if mask0 is not None
@@ -334,14 +356,15 @@ def _bwd_fused_kernel(
     grids)."""
     t_pad = q_ref.shape[1]
     scale = jnp.float32(1.0 / math.sqrt(hd))
-    q_pos, k_pos = _positions(t_pad, t_pad, jnp.int32(0))
-    mask = k_pos < jnp.int32(seq_len)
-    if causal:
-        mask = mask & (k_pos <= q_pos)
 
     if kvh == 1:
         kf = k_ref[0][:, :hd]
         vf = v_ref[0][:, :hd]
+
+    q_pos, k_pos = _positions(t_pad, t_pad, jnp.int32(0))
+    mask = k_pos < jnp.int32(seq_len)
+    if causal:
+        mask = mask & (k_pos <= q_pos)
 
     dk_acc = None
     dv_acc = None
@@ -351,8 +374,11 @@ def _bwd_fused_kernel(
             kf = k_ref[0][:, sl]
             vf = v_ref[0][:, sl]
         qh = q_ref[0][:, sl]
-        s = _mm(qh, kf, ((1,), (1,))) * scale
-        s = jnp.where(mask, s, jnp.float32(NEG_INF))
+        # scale folded into the (T, hd) operand (full-tile pass saved); the
+        # pre-exp NEG_INF masking is redundant — the p-where below already
+        # zeroes masked positions and s has no other consumer
+        qs = (qh.astype(jnp.float32) * scale).astype(kf.dtype)
+        s = _mm(qs, kf, ((1,), (1,)))
         lse_h = lse_ref[0][:, h : h + 1]
         p = jnp.where(mask, jnp.exp(s - lse_h), jnp.float32(0.0))
         doh = do_ref[0][:, sl]

@@ -316,6 +316,11 @@ class PjitTrainingStrategy(TrainingStrategy):
         model_checkpointer=None,
     ) -> Tuple[BaseModelWrapper, TrainState, Dict[str, float]]:
         train_cfg: ModelTrainConfig = pipeline_config.train
+        # NOTE: the persistent XLA compile cache is default-on at package
+        # import (recommendations_tpu/__init__.py — honors
+        # JAX_COMPILATION_CACHE_DIR), so every strategy run after the first
+        # loads its step executable from disk; the sparse_fused_adam 10M
+        # step's cold compile is the motivating case (QUALITY.md round 5)
         wrapper: BaseModelWrapper = model_builder.build()
         mesh = self._mesh()
         if hasattr(wrapper, "bind_mesh"):

@@ -55,17 +55,40 @@ def main() -> int:
                          "trains (without it the reference-parity detach "
                          "makes table grads symbolic zeros that XLA folds, "
                          "understating table-update costs)")
+    ap.add_argument("--shape", default="headline",
+                    choices=["headline", "prod", "seq1024"],
+                    help="preset: headline = bench.py (6L seq 256 b64); "
+                         "prod = the 16L seq-512 rel-pos-bias rung; "
+                         "seq1024 = the 6L seq-1024 fused-bias rung "
+                         "(VERDICT r4 #4: per-op rooflines for the two "
+                         "hardest rungs)")
     args = ap.parse_args()
 
     batch, seq, layers, d, vocab = 64, 256, 6, 512, args.vocab
+    pos_bias = None
+    remat = False
+    mini_bs = 32
+    if args.shape == "prod":
+        # configs/lthm_train.yaml scale point: 16L, seq 512 (+CLS), MQA-32,
+        # learned rel-pos bias (XLA path below the seq-768 crossover), 10M
+        # rows, remat dots_no_batch
+        batch, seq, layers, vocab = 64, 512, 16, 10_000_000
+        pos_bias, remat = 513, True
+    elif args.shape == "seq1024":
+        # BENCH_SUITE lthm_seq1024: 6L seq 1024, fused in-kernel bias
+        batch, seq, layers, vocab = 16, 1024, 6, 1_000_000
+        pos_bias, remat = 1025, True
+        mini_bs = 16
     cfg = LTHMModelConfig(
         features={"defaults": {}},
         transformer_config=TransformerConfig(
             rotator_config={"ff_mult": 4}, is_causal=True, num_layers=layers,
-            enable_gradient_checkpointing=False, use_flash_attention=True,
+            enable_gradient_checkpointing=remat, use_flash_attention=True,
             attn_config=SelfAttentionConfig(
                 n_head=max(4, d // 16), n_embd=d, attn_type="multi_query",
                 dropout=0.0, attn_dropout=0.0, bias=False,
+                **({"pos_bias": {"context_window": pos_bias}}
+                   if pos_bias else {}),
             ),
         ),
         product_tower=ProductTowerConfig(
@@ -81,7 +104,8 @@ def main() -> int:
         ),
         log_q_config=LogQConfig(num_buckets=2**22, hash_offsets=[0, 34144, 7465477]),
         lookahead=[0, 5, 6, 12, 24, 30],
-        context_width=seq, softmax_temperature=0.05, train_mini_batch_size=32,
+        context_width=seq, softmax_temperature=0.05,
+        train_mini_batch_size=mini_bs,
         fused_ce=args.fused_ce,
         **({"table_optimizer": args.table_optimizer}
            if args.table_optimizer else {}),
@@ -204,7 +228,7 @@ def main() -> int:
     p_layer = d * d + d * 32 + d * d + 2 * d * 4 * d
     stack_flops = 3 * 2 * layers * p_layer * t_tok
     attn_flops = 3 * 4 * 32 * t_tok * (seq + 1) * 16 / 2
-    n_chunk = batch // cfg.train_mini_batch_size
+    n_chunk = max(1, batch // cfg.train_mini_batch_size)
     n_rows = cfg.train_mini_batch_size * (seq + 8)
     loss_flops = len(cfg.lookahead) * n_chunk * 3 * 2 * n_rows * n_rows * 128
     kshift_bytes = tokens * 8 * 32 * 4 * 2  # gather + scatter rows, f32
