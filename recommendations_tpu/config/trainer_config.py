@@ -126,6 +126,15 @@ class ModelTrainConfig(BaseModel):
     lr_scheduler_kwargs: Optional[Dict[str, Any]] = None
     lr_scheduler_step_size: int = 100
     gradient_accumulation_steps: Optional[int] = None
+    # dispatch k train steps per jit call (lax.scan over k stacked batches).
+    # Host-side per-dispatch costs (enqueue RPC, GIL-displaced bookkeeping,
+    # queue handoffs) amortize k-fold — measured on the tunneled v5e they
+    # idle the device ~45% of every loader-fed step (QUALITY.md round 5,
+    # feed_path_stages). Metric/checkpoint cadences become crossing checks
+    # (fire on the first step at/after each multiple); train_steps rounds
+    # UP to a whole group (stop lands within k-1 steps past the target);
+    # a trailing partial group runs through the single-step program.
+    steps_per_dispatch: int = 1
     skip_train: bool = False
     checkpoint_every_k_steps: Optional[int] = None
     cache_every_k_val_batch: int = 40
@@ -148,3 +157,12 @@ class DataLoaderConfig(BaseModel):
     macro_batches_multiples: int = 1
     pin_memory: bool = False  # parity knob; no-op on TPU
     bypass_dataloader: bool = False
+    # run the host pipeline (parquet -> transforms -> grouped batches) in a
+    # FORKED child process instead of a thread: true parallelism with the
+    # dispatch thread (the reference's torch DataLoader workers are
+    # processes for the same reason — CPython threads GIL-serialize pandas
+    # against the train loop; measured 5.8 -> 21.8 ms/batch inflation under
+    # contention on a 2-vCPU host, QUALITY.md round 5). Fork-based: the
+    # child inherits the built dataset, so nothing needs pickling; the
+    # child must never touch jax (data work only).
+    process_reader: bool = False

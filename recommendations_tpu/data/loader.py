@@ -77,10 +77,12 @@ class HostDataLoader:
         dataset: GroupedBatchDataset,
         max_prefetch: int = 2,
         timer: Optional[StageTimer] = None,
+        process_reader: bool = False,
     ):
         self._dataset = dataset
         self._max_prefetch = max(1, max_prefetch)
         self.timer = timer
+        self._process_reader = process_reader
         # set by get_host_dataloader when an O(1) row-skip resume was applied
         self.skip_applied = False
         # batches the consumer must discard after a snapshot restore
@@ -91,7 +93,54 @@ class HostDataLoader:
     def dataset(self) -> GroupedBatchDataset:
         return self._dataset
 
+    def _iter_process(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Forked-child producer: the host pipeline runs with its OWN GIL,
+        truly parallel to the dispatch thread (DataLoaderConfig
+        .process_reader). fork(2) inherits the built dataset — nothing is
+        pickled except the finished numpy batches crossing the queue. The
+        child does data work only (it must never touch jax: inherited RPC
+        state is not fork-safe)."""
+        import multiprocessing as mp
+        import pickle
+
+        ctx = mp.get_context("fork")
+        q: "mp.Queue" = ctx.Queue(maxsize=self._max_prefetch)
+        timer = self.timer
+
+        def producer():
+            try:
+                for batch in self._dataset:
+                    q.put(("b", pickle.dumps(batch, protocol=5)))
+                q.put(("done", None))
+            except BaseException as e:  # surfaced on the consumer side
+                import traceback
+
+                q.put(("err", f"{e!r}\n{traceback.format_exc()}"))
+
+        proc = ctx.Process(target=producer, daemon=True)
+        proc.start()
+        try:
+            while True:
+                t0 = time.perf_counter()
+                tag, payload = q.get()
+                if timer is not None:
+                    timer.add("host.consumer_wait", time.perf_counter() - t0)
+                if tag == "done":
+                    return
+                if tag == "err":
+                    raise RuntimeError(
+                        f"process_reader child failed:\n{payload}"
+                    )
+                yield pickle.loads(payload)
+        finally:
+            if proc.is_alive():
+                proc.terminate()
+            proc.join(timeout=5)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self._process_reader:
+            yield from self._iter_process()
+            return
         q: "queue.Queue" = queue.Queue(maxsize=self._max_prefetch)
         err: List[BaseException] = []
         timer = self.timer
@@ -140,19 +189,25 @@ class DevicePrefetcher:
     compute; on real hosts it hides the PCIe copy."""
 
     def __init__(self, host_iter, mesh, depth: int = 2,
-                 timer: Optional[StageTimer] = None):
+                 timer: Optional[StageTimer] = None, transfer=None):
         self._it = host_iter
         self._mesh = mesh
         self._depth = max(1, depth)
         self.timer = timer
+        # transfer(item) -> device item; default = plain batch device_put
+        # (multi-step dispatch passes a tag-aware transfer)
+        self._transfer = transfer or (
+            lambda hb: device_put_batch(hb, mesh)
+        )
 
     def __iter__(self):
         import os
 
+        transfer = self._transfer
         if os.environ.get("RECS_DEVICE_PREFETCH", "1") in ("0", "false"):
             # kill-switch: transfer inline on the consumer thread
             for hb in self._it:
-                yield device_put_batch(hb, self._mesh)
+                yield transfer(hb)
             return
         q: "queue.Queue" = queue.Queue(maxsize=self._depth)
         err: List[BaseException] = []
@@ -162,7 +217,7 @@ class DevicePrefetcher:
             try:
                 if timer is None:
                     for hb in self._it:
-                        q.put(device_put_batch(hb, self._mesh))
+                        q.put(transfer(hb))
                 else:
                     it = iter(self._it)
                     while True:
@@ -173,7 +228,7 @@ class DevicePrefetcher:
                             break
                         timer.add("dev.host_iter_wait", time.perf_counter() - t0)
                         t0 = time.perf_counter()
-                        db = device_put_batch(hb, self._mesh)
+                        db = transfer(hb)
                         timer.add("dev.device_put", time.perf_counter() - t0)
                         t0 = time.perf_counter()
                         q.put(db)
@@ -198,14 +253,18 @@ class DevicePrefetcher:
 
 
 def device_put_batch(
-    batch: Dict[str, np.ndarray], mesh: Optional[Mesh]
+    batch: Dict[str, np.ndarray], mesh: Optional[Mesh], stacked: bool = False
 ) -> Dict[str, jax.Array]:
     """Host batch → device arrays sharded on the 'data' mesh axis.
 
     Single-process: a plain device_put with NamedSharding.  Multi-host: each
     process passes its local slice and the global array is assembled across
     hosts (replaces DDP's implicit per-rank batches).
+
+    ``stacked``: arrays carry a leading steps-per-dispatch axis (k, B, ...);
+    the BATCH axis is dim 1, so the data sharding moves there.
     """
+    spec = PartitionSpec(None, "data") if stacked else PartitionSpec("data")
     out = {}
     for k, v in batch.items():
         if v.dtype == object:
@@ -214,11 +273,37 @@ def device_put_batch(
             out[k] = jax.device_put(v)
         elif jax.process_count() > 1:
             out[k] = jax.make_array_from_process_local_data(
-                NamedSharding(mesh, PartitionSpec("data")), v
+                NamedSharding(mesh, spec), v
             )
         else:
-            out[k] = jax.device_put(v, NamedSharding(mesh, PartitionSpec("data")))
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
+
+
+def stack_step_groups(host_iter, k: int):
+    """Group a host-batch iterator into leading-stacked k-step batches for
+    multi-step dispatch (``ModelTrainConfig.steps_per_dispatch``).
+
+    Yields ``("multi", {key: (k, B, ...)})`` for full groups and
+    ``("single", batch)`` for the trailing partial group, so no data is
+    dropped and the tail runs through the single-step program.
+    """
+    buf: List[Dict[str, np.ndarray]] = []
+    for hb in host_iter:
+        buf.append(hb)
+        if len(buf) == k:
+            yield (
+                "multi",
+                {
+                    key: np.stack([b[key] for b in buf])
+                    for key in buf[0]
+                    if getattr(buf[0][key], "dtype", None) is not None
+                    and buf[0][key].dtype != object
+                },
+            )
+            buf = []
+    for b in buf:
+        yield ("single", b)
 
 
 def get_host_dataloader(
@@ -292,7 +377,10 @@ def get_host_dataloader(
     if dl_cfg.bypass_dataloader:
         return dataset
     loader = HostDataLoader(dataset, max_prefetch=dl_cfg.max_prefetch,
-                            timer=timer)
+                            timer=timer,
+                            process_reader=getattr(
+                                dl_cfg, "process_reader", False
+                            ))
     loader.skip_applied = skip_applied
     loader.discard_batches = discard
     return loader

@@ -122,7 +122,8 @@ class PjitTrainingStrategy(TrainingStrategy):
             )
         )
 
-    def _make_step_fns(self, wrapper: BaseModelWrapper, optimizer, mesh):
+    def _make_step_fns(self, wrapper: BaseModelWrapper, optimizer, mesh,
+                       steps_per_dispatch: int = 1):
         # metric KEYS are static per compile; metric VALUES return as ONE
         # stacked (n,) array. Returning ~60 separate device scalars per
         # dispatch cost ~3x end-to-end on transfer-latency-sensitive
@@ -243,14 +244,38 @@ class PjitTrainingStrategy(TrainingStrategy):
         self._train_metric_keys = train_metric_keys
         self._val_metric_keys = val_metric_keys
 
+        self._train_step_multi = None
+
         if getattr(self.config, "debug_numerics", False):
             # sanitizer mode (SURVEY §5): trap NaN/Inf/OOB at the offending
             # op; checkify composes poorly with donation, so skip it here
+            # (steps_per_dispatch also falls back to 1 here — per-step error
+            # attribution is the whole point of the mode)
             from recommendations_tpu.core.debug import checked_step
 
             return checked_step(train_step), checked_step(val_step)
 
         donate = (0,) if self.config.donate_state else ()
+
+        if steps_per_dispatch > 1:
+            # k steps per jit call: lax.scan over k leading-stacked batches.
+            # One dispatch RPC + one python-loop iteration per k steps — the
+            # host-side residue that idles the device between dispatches
+            # (QUALITY.md r5 feed_path_stages) amortizes k-fold. Loss and
+            # packed metrics reported from the LAST step of the group (the
+            # loop always logged one step's values per event).
+            def train_step_multi(state: TrainState, batches):
+                def body(s, b):
+                    s2, loss, pm = train_step(s, b)
+                    return s2, (loss, pm)
+
+                state, (losses, pms) = jax.lax.scan(body, state, batches)
+                return state, losses[-1], pms[-1]
+
+            self._train_step_multi = jax.jit(
+                train_step_multi, donate_argnums=donate
+            )
+
         return (
             jax.jit(train_step, donate_argnums=donate),
             jax.jit(val_step),
@@ -362,7 +387,12 @@ class PjitTrainingStrategy(TrainingStrategy):
         example = next(iter(make_loader("train", host_train_paths, limit=1)))
         init_vars = wrapper.init_variables(jax.random.PRNGKey(0), example)
         optimizer = build_optimizer(wrapper, train_cfg, init_vars.get("params", {}))
-        train_step, val_step = self._make_step_fns(wrapper, optimizer, mesh)
+        train_step, val_step = self._make_step_fns(
+            wrapper, optimizer, mesh,
+            steps_per_dispatch=max(
+                1, int(getattr(train_cfg, "steps_per_dispatch", 1))
+            ),
+        )
         state = self.init_state(wrapper, optimizer, example, mesh, variables=init_vars)
 
         ckpt_mgr: Optional[CheckpointManager] = None
@@ -436,6 +466,14 @@ class PjitTrainingStrategy(TrainingStrategy):
         profile_dir = getattr(self.config, "profile_dir", None)
         profile_start = getattr(self.config, "profile_start_step", 10)
         profile_steps = getattr(self.config, "profile_num_steps", 5)
+        prof_on = False
+        k_dispatch = max(1, int(getattr(train_cfg, "steps_per_dispatch", 1)))
+        if k_dispatch > 1 and self._train_step_multi is None:
+            logger.warning(
+                "steps_per_dispatch=%d requested but multi-step program "
+                "unavailable (debug_numerics?); using 1", k_dispatch,
+            )
+            k_dispatch = 1
 
         # Cooperative stop runs in ROUNDS of `stop_check_every` batches: the
         # cross-host allgather happens once per round instead of once per
@@ -498,26 +536,65 @@ class PjitTrainingStrategy(TrainingStrategy):
             # runs (the in-loop device_put otherwise serializes with compute).
             # Constructed AFTER the replay fast-forward: the prefetch thread
             # starts consuming `it` immediately.
-            dev_it = iter(DevicePrefetcher(it, mesh, depth=2, timer=feed_timer))
+            if k_dispatch > 1:
+                # multi-step dispatch: k host batches stack into one
+                # (k, B, ...) transfer + one scanned jit call — the host
+                # residue that idles the device between dispatches amortizes
+                # k-fold (feed_path_stages named it at ~45% of e2e wall)
+                from recommendations_tpu.data.loader import stack_step_groups
+
+                def _transfer(item):
+                    tag, hb = item
+                    return tag, device_put_batch(
+                        hb, mesh, stacked=(tag == "multi")
+                    )
+
+                dev_it = iter(DevicePrefetcher(
+                    stack_step_groups(it, k_dispatch), mesh, depth=2,
+                    timer=feed_timer, transfer=_transfer,
+                ))
+            else:
+                dev_it = iter(DevicePrefetcher(it, mesh, depth=2, timer=feed_timer))
 
             epoch_done = False
+            t_loop_prev = None
             while not epoch_done and not stop_all:
                 exhausted = False
                 for _ in range(stop_check_every):
                     t_feed = time.perf_counter()
+                    if t_loop_prev is not None:
+                        # main-thread time spent OUTSIDE next()/dispatch —
+                        # metric bookkeeping, logging, GIL displacement by
+                        # the producer threads
+                        feed_timer.add("step.loop_other", t_feed - t_loop_prev)
                     try:
                         batch = next(dev_it)
                     except StopIteration:
                         exhausted = True
                         break
                     t_disp = time.perf_counter()
-                    if profile_dir and batch_nb == profile_start:
+                    if profile_dir and batch_nb >= profile_start and not prof_on:
                         jax.profiler.start_trace(profile_dir)
-                    state, loss, metrics = train_step(state, batch)
+                        prof_on = True
+                    if k_dispatch > 1:
+                        tag, batch = batch
+                        if tag == "multi":
+                            state, loss, metrics = self._train_step_multi(
+                                state, batch
+                            )
+                            n_new = k_dispatch
+                        else:
+                            state, loss, metrics = train_step(state, batch)
+                            n_new = 1
+                    else:
+                        state, loss, metrics = train_step(state, batch)
+                        n_new = 1
                     feed_timer.add("step.next_batch_wait", t_disp - t_feed)
-                    feed_timer.add("step.dispatch", time.perf_counter() - t_disp)
+                    t_loop_prev = time.perf_counter()
+                    feed_timer.add("step.dispatch", t_loop_prev - t_disp)
                     last_loss = loss
-                    batch_nb += 1
+                    prev_batch_nb = batch_nb
+                    batch_nb += n_new
                     if train_start is None:
                         # steady-state clock: block out the first step's
                         # executable load / compile before starting the
@@ -525,15 +602,28 @@ class PjitTrainingStrategy(TrainingStrategy):
                         float(loss)
                         train_start = time.time()
                         global_num_samples = 0
-                    batches_in_epoch += 1
-                    if profile_dir and batch_nb == profile_start + profile_steps:
+                    batches_in_epoch += n_new
+                    if (
+                        profile_dir and prof_on
+                        and batch_nb >= profile_start + profile_steps
+                    ):
                         jax.block_until_ready(loss)
                         jax.profiler.stop_trace()
+                        prof_on = False
                         logger.info("profiler trace written to %s", profile_dir)
-                    global_num_samples += train_cfg.batch_size * n_hosts
+                    global_num_samples += train_cfg.batch_size * n_hosts * n_new
                     loss_val: Optional[float] = None
 
-                    if batch_nb % train_cfg.train_metrics_every_n_steps == 0:
+                    def _crossed(every: int) -> bool:
+                        # cadence check robust to k-step jumps: true when the
+                        # step counter crossed a multiple of `every` in this
+                        # dispatch group
+                        return (
+                            every > 0
+                            and (batch_nb // every) > (prev_batch_nb // every)
+                        )
+
+                    if _crossed(train_cfg.train_metrics_every_n_steps):
                         # ONE device fetch for the packed metric vector
                         vals = np.asarray(jax.device_get(metrics), np.float32)
                         host_metrics = dict(
@@ -571,7 +661,7 @@ class PjitTrainingStrategy(TrainingStrategy):
                     if (
                         eval_cache
                         and train_cfg.val_metrics_every_n_steps > 0
-                        and batch_nb % train_cfg.val_metrics_every_n_steps == 0
+                        and _crossed(train_cfg.val_metrics_every_n_steps)
                     ):
                         val_metrics = self._run_val(
                             val_step, state, eval_cache, mesh, train_cfg, trackers,
@@ -585,7 +675,7 @@ class PjitTrainingStrategy(TrainingStrategy):
                     # fetched for the metrics window when steps coincide
                     if (
                         train_cfg.checkpoint_every_k_steps
-                        and batch_nb % train_cfg.checkpoint_every_k_steps == 0
+                        and _crossed(train_cfg.checkpoint_every_k_steps)
                     ):
                         if loss_val is None:
                             loss_val = float(loss)
@@ -598,7 +688,21 @@ class PjitTrainingStrategy(TrainingStrategy):
                                 # for grouped/shuffled pipelines too
                                 snap_blob = None
                                 ds = getattr(loader, "dataset", None)
-                                if ds is not None and hasattr(ds, "snapshot"):
+                                # process_reader: the forked child owns the
+                                # advancing iterator; the parent's copy is
+                                # stale, so snapshots would record position
+                                # 0 — resume falls back to metadata-skip /
+                                # replay, driven by batches_in_epoch (which
+                                # the parent counts correctly)
+                                proc_reader = getattr(
+                                    data_loader_strategy.data_loader_config,
+                                    "process_reader", False,
+                                )
+                                if (
+                                    ds is not None
+                                    and hasattr(ds, "snapshot")
+                                    and not proc_reader
+                                ):
                                     snap_blob = ds.snapshot(batches_in_epoch)
                                 if snap_blob is not None:
                                     with open(_sidecar_path(batch_nb), "wb") as f:

@@ -254,3 +254,33 @@ def test_generator_seeded_reproducible_with_threads():
     assert len(runs[0]) == len(runs[1]) and len(runs[0]) > 1
     for a, b in zip(runs[0], runs[1]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_process_reader_matches_thread_mode():
+    """DataLoaderConfig.process_reader (forked-child producer) yields the
+    exact same batch stream as the thread producer — same order, same
+    values (fork inherits the built dataset; only numpy batches cross)."""
+
+    def _mk():
+        paths = _seed_two_identical_files()
+        strategy = get_data_loader_strategy(
+            DataLoaderConfig(block_size=1, shuffle_files=False),
+            columns=["x"], data_mapper=lambda kind: (lambda df: df),
+        )
+        gen = strategy.load("train", 0, paths, _fs(), seed=123)
+        return GroupedBatchDataset(
+            dataframe_generator=gen, features_config=_x_features(),
+            batch_size=8, limit=None, drop_remainder=True, columns=None,
+            seed=123,
+        )
+
+    thread_batches = list(HostDataLoader(_mk(), max_prefetch=2))
+    proc_batches = list(
+        HostDataLoader(_mk(), max_prefetch=2, process_reader=True)
+    )
+    assert len(thread_batches) == len(proc_batches) > 0
+    for a, b in zip(thread_batches, proc_batches):
+        assert sorted(a) == sorted(b)
+        for k in a:
+            if getattr(a[k], "dtype", None) is not None and a[k].dtype != object:
+                np.testing.assert_array_equal(a[k], b[k])
