@@ -444,13 +444,13 @@ def bench_loader_e2e(on_tpu):
             # idle ~45% of e2e wall on host-side per-dispatch residue; 8
             # steps per jit call amortizes it (tests/test_multi_dispatch.py
             # pins exact k=1 parity)
-            "steps_per_dispatch": 8 if on_tpu else 1,
+            "steps_per_dispatch": 16 if on_tpu else 1,
         },
         # process_reader: the host pipeline forks its own process — on this
         # 2-vCPU box the pandas transforms GIL-inflate 5.8 -> 21.8 ms/batch
         # against the dispatch thread (r5 feed_path_stages measurement)
         "data_loader": {"bypass_dataloader": False, "max_readers": 8,
-                        "process_reader": on_tpu},
+                        "max_prefetch": 24, "process_reader": on_tpu},
         "export": {"filesystem_config": {"local_dir_prefix": f"{out_root}/export"}},
         "trackers": {"trackers": []},
         "model": {

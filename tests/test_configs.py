@@ -21,11 +21,19 @@ TOP_LEVEL = sorted(
 @pytest.mark.parametrize("path", TOP_LEVEL, ids=[os.path.basename(p) for p in TOP_LEVEL])
 def test_config_validates_and_builds(path):
     cfg = load_config(path, search_paths=[CONFIG_ROOT])
-    assert cfg.model_version
-    wrapper = cfg.model.get_builder(stats=None).build()
-    assert wrapper is not None
-    # the feature system must have compiled transformers
-    assert cfg.model.features.get_input_columns()
+    from recommendations_tpu.pipeline.joint_pipeline import JointPipelineConfig
+
+    if isinstance(cfg, JointPipelineConfig):
+        # two-stage config: both stage models must build
+        stages = [cfg.retrieval, cfg.ranking]
+    else:
+        assert cfg.model_version
+        stages = [cfg]
+    for stage in stages:
+        wrapper = stage.model.get_builder(stats=None).build()
+        assert wrapper is not None
+        # the feature system must have compiled transformers
+        assert stage.model.features.get_input_columns()
 
 
 def test_overrides_and_interpolation():
