@@ -165,9 +165,20 @@ def sparse_fused_adam_update(
     vhat = new_v / (1.0 - jnp.float32(b2) ** c)
     new_t = t_rows - learning_rate * mhat / (jnp.sqrt(vhat) + eps)
 
-    new_rows = jnp.concatenate(
-        [new_t, new_m, new_v, rows[:, 2 * d + 1 :]], axis=1
-    )
+    # COMPILE-TIME LANDMINE (round-5 bisect, v5e, V=10M, M=135K): letting
+    # the Adam row epilogue (the (M, 1) mean-reduce second moment and its
+    # sqrt/divide chain) fuse into the (V, 128) scatter operand sends the
+    # XLA:TPU compile to 21-45 MINUTES. Isolated probes: scatter alone
+    # 0.5 s; sort+segmented-scan 11.4 s; the full graph with a REDUCE-FREE
+    # epilogue 11.5-17.5 s; the same graph with the real epilogue (either
+    # concatenate- or dynamic_update_slice-assembled) 21-45 min. The
+    # optimization_barrier materializes the assembled rows (66 MB at this
+    # shape, ~0.2 ms of HBM) and cuts the scatter off from the reduce
+    # chain — compile drops to seconds (QUALITY.md round 5).
+    new_rows = jax.lax.dynamic_update_slice(rows, new_t, (0, 0))
+    new_rows = jax.lax.dynamic_update_slice(new_rows, new_m, (0, d))
+    new_rows = jax.lax.dynamic_update_slice(new_rows, new_v, (0, 2 * d))
+    new_rows = jax.lax.optimization_barrier(new_rows)
     new_record = record.at[uidx].set(new_rows, mode="drop")
     rows_nan = jnp.any(
         ~jnp.isfinite(new_rows) & is_end[:, None]
