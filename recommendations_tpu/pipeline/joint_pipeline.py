@@ -275,6 +275,10 @@ def _enrich_dataset(jc, tables, out_root: str, zero: bool) -> Dict[str, str]:
     ucol, icol = jc.encode.user_id_column, jc.encode.item_id_column
     uout, iout = jc.encode.user_emb_column, jc.encode.item_emb_column
 
+    from recommendations_tpu.data.paths import get_val_data_paths
+
+    val_set = set(get_val_data_paths(jc.ranking.dataset) or [])
+
     shutil.rmtree(out_root, ignore_errors=True)
     coverage_n = coverage_hit = 0
     for path in _ranking_paths(jc.ranking):
@@ -293,12 +297,14 @@ def _enrich_dataset(jc, tables, out_root: str, zero: bool) -> Dict[str, str]:
             coverage_hit += int(
                 np.sum([np.abs(v).sum() > 0 for v in df[uout]])
             )
-        # preserve the date partition layout under the new root
+        # preserve the date partition layout under the new root; routed by
+        # actual val-path membership, not a substring of the path (a train
+        # dir containing 'val' would otherwise misroute)
         parts = path.replace("\\", "/").split("/")
         date_part = next(
             (p for p in parts if p.startswith("date=")), "date=20240101"
         )
-        sub = "val" if "val" in path else "train"
+        sub = "val" if path in val_set else "train"
         dst_dir = os.path.join(out_root, sub, date_part)
         os.makedirs(dst_dir, exist_ok=True)
         df.to_parquet(os.path.join(dst_dir, parts[-1]))
