@@ -511,7 +511,7 @@ def bench_loader_e2e(on_tpu):
             # idle ~45% of e2e wall on host-side per-dispatch residue; 8
             # steps per jit call amortizes it (tests/test_multi_dispatch.py
             # pins exact k=1 parity)
-            "steps_per_dispatch": 16 if on_tpu else 1,
+            "steps_per_dispatch": 64 if on_tpu else 1,
         },
         # process_reader: the host pipeline forks its own process — on this
         # 2-vCPU box the pandas transforms GIL-inflate 5.8 -> 21.8 ms/batch
