@@ -485,7 +485,7 @@ def bench_loader_e2e(on_tpu):
     jax.config.update("jax_compilation_cache_dir", "/tmp/bench_loader/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    steps = 150 if on_tpu else 4
+    steps = 384 if on_tpu else 4
     hist = 264 if on_tpu else 40
     write_synthetic_dataset(
         data_root,
