@@ -84,6 +84,61 @@ KV_CHUNK = 512
 # ±0 ms.) Bigger fused regions, not smaller smarter ones, are the lever at
 # this geometry.
 
+# MQA head packing — TRIED AND MEASURED SLOWER (round 5); kept flag-gated
+# for the record. Hypothesis (VERDICT r4 #1): the single-chunk kernels'
+# binding resource is per-VPU-pass overhead (~100 cycles fixed vs ~72
+# cycles of element work on a (272, 272) f32 pass), and with MQA all heads
+# share K/V, so G heads' logits can be ONE (G*tile, hd) @ (hd, T) matmul
+# and their softmax epilogues single passes over (G*tile, T), amortizing
+# the fixed cost G-fold; dK/dV even sums heads INSIDE one (T, G*tile)
+# contraction instead of G matmuls + G-1 adds.
+#
+# What the hardware said (chained lax.scan x100 in ONE program — python-loop
+# timing at this step size measures tunnel dispatch, not the device;
+# B=16, T=265, MQA-32 x hd=16, fwd+bwd, v5e):
+#   unpacked              0.959 ms/step
+#   packed bwd only       1.081 ms/step
+#   packed fwd + bwd      1.035 ms/step
+# Packing loses ~8-13%. Three structural costs eat the amortization:
+# (1) Mosaic cannot concat 16-lane ref slices, so packed operands must be
+#     assembled through VMEM scratch — a write+read round-trip per head
+#     that replaces a register-resident value;
+# (2) Mosaic compiles at most ~16 packed heads of this kernel per program
+#     (24+ fail with no diagnostic), forcing a 2-way head split at MQA-32:
+#     two pallas_calls per direction, twice the K/V DMAs, plus XLA q/o
+#     lane-slice/concat glue;
+# (3) the epilogue passes the packing amortizes are ~40% of kernel time,
+#     bounding the best case below what (1)+(2) cost.
+# Together with the causal-row-block and CE-padding negative results this
+# closes the tile/layout-tuning avenue at this geometry: the remaining gap
+# to the matmul floor is the hd=16 head geometry itself (a model change).
+_PACK_ELEMS = 448_000  # max G*tile*T elements of one packed f32 buffer
+_PACK_FWD = False  # measured slower (above) — flag kept for re-measurement
+_PACK_BWD = False
+
+
+def _head_group(n_head: int, tile_q: int, cols: int, hd: int) -> int:
+    if 3 * hd > _LANE:  # packed q/do/raw-q lanes must fit one 128-lane scratch
+        return 1
+    for g in (8, 4, 2):
+        if n_head % g == 0 and g * tile_q * cols <= _PACK_ELEMS:
+            return g
+    return 1
+
+
+def _packed_mask(gsz: int, tile_q: int, cols: int, row0, seq_len: int, causal: bool):
+    """Mask for gsz head-stacked row blocks: row r of the packed tile is
+    sequence position row0 + (r mod tile_q). Position vectors only — the
+    tile-wide compare is the single broadcast at the end (see _chunk_mask)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (gsz * tile_q, 1), 0)
+    q_pos = row0 + jax.lax.rem(r, jnp.int32(tile_q))
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
+    kv_ok = k_pos < jnp.int32(seq_len)
+    if causal:
+        return kv_ok & (k_pos <= q_pos)
+    return kv_ok
+
+
 # Sequences above KV_CHUNK run the 3D-grid path: the KV axis is a grid
 # dimension (Mosaic double-buffers the K/V chunk DMAs across steps) with
 # online-softmax state carried in VMEM scratch between revisits — replacing
@@ -134,7 +189,8 @@ def _chunk_mask(rows: int, cols: int, row0, col0, seq_len: int, causal: bool):
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, n_head, hd, kvh, tile_q, seq_len, causal
+    q_ref, k_ref, v_ref, o_ref, lse_ref, *scr,
+    n_head, hd, kvh, tile_q, seq_len, causal, gsz=1,
 ):
     iq = pl.program_id(1)
     t_pad = k_ref.shape[1]
@@ -160,6 +216,42 @@ def _fwd_kernel(
         if n_chunks == 1
         else None
     )
+
+    if gsz > 1:
+        # MQA packed path: G heads' rows stacked in the sublane dim (via a
+        # VMEM scratch — Mosaic cannot concat 16-lane ref slices) — one
+        # logits matmul, one softmax pass chain, one PV matmul per group
+        (q_scr,) = scr
+        kc = k_ref[0][:, :hd]  # single chunk: the whole (t_pad, hd) K block
+        vc = v_ref[0][:, :hd]
+        mask_p = _packed_mask(gsz, tile_q, kc_size, row0, seq_len, causal)
+        lse_cols = []
+        for g in range(n_head // gsz):
+            for j in range(gsz):
+                h = g * gsz + j
+                q_scr[j * tile_q : (j + 1) * tile_q, :hd] = (
+                    q_ref[0][:, h * hd : (h + 1) * hd].astype(jnp.float32) * scale
+                ).astype(q_scr.dtype)
+            s = _mm(q_scr[:, :hd], kc, ((1,), (1,)))  # (gsz*tile_q, kc)
+            s = jnp.where(mask_p, s, jnp.float32(NEG_INF))
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            acc = _mm(p.astype(vc.dtype), vc, ((1,), (0,)))  # (gsz*tile_q, hd)
+            o = acc / jnp.maximum(l, jnp.float32(1e-30))
+            lse_g = m + jnp.log(jnp.maximum(l, jnp.float32(1e-30)))
+            for j in range(gsz):
+                h = g * gsz + j
+                rows = slice(j * tile_q, (j + 1) * tile_q)
+                o_ref[0, :, h * hd : (h + 1) * hd] = o[rows].astype(o_ref.dtype)
+                lse_cols.append(lse_g[rows])
+        lse = jnp.concatenate(lse_cols, axis=1)  # (tile_q, n_head)
+        pad = lse_ref.shape[2] - n_head
+        if pad:
+            lse = jnp.concatenate([lse, jnp.zeros((tile_q, pad), jnp.float32)], axis=1)
+        lse_ref[0] = lse
+        return
+
     lse_cols = []
     for h in range(n_head):
         sl = slice(h * hd, (h + 1) * hd)
@@ -347,7 +439,7 @@ def _dkv_kernel(
 
 def _bwd_fused_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dcol_ref, dq_ref, dk_ref, dv_ref,
-    *, n_head, hd, kvh, seq_len, causal,
+    *scr, n_head, hd, kvh, seq_len, causal, gsz=1,
 ):
     """Single-program backward (dq + dk + dv) for the whole-sequence-per-tile
     case: shares the s/p recomputation between the dq and dk/dv paths and
@@ -365,6 +457,55 @@ def _bwd_fused_kernel(
     mask = k_pos < jnp.int32(seq_len)
     if causal:
         mask = mask & (k_pos <= q_pos)
+
+    if gsz > 1:
+        # MQA packed backward: G heads stacked in sublanes (assembled
+        # through VMEM scratch refs — Mosaic cannot concat 16-lane ref
+        # slices) — the s/p recomputation, dp matmul, and ds epilogue run
+        # once per group, and the cross-head dK/dV sums happen INSIDE one
+        # (T, G*T) contraction instead of G matmuls + G-1 adds. Scratch
+        # lanes: op_scr [0:hd]=scaled q, [hd:2hd]=do, [2hd:3hd]=raw q;
+        # f32_scr [0:1]=lse, [1:2]=dcol.
+        op_scr, f32_scr = scr
+        mask_p = _packed_mask(gsz, t_pad, t_pad, jnp.int32(0), seq_len, causal)
+        dk_acc = None
+        dv_acc = None
+        for g in range(n_head // gsz):
+            for j in range(gsz):
+                h = g * gsz + j
+                rows = slice(j * t_pad, (j + 1) * t_pad)
+                qh = q_ref[0][:, h * hd : (h + 1) * hd]
+                op_scr[rows, 0:hd] = (qh.astype(jnp.float32) * scale).astype(op_scr.dtype)
+                op_scr[rows, hd : 2 * hd] = do_ref[0][:, h * hd : (h + 1) * hd]
+                op_scr[rows, 2 * hd : 3 * hd] = qh
+                f32_scr[rows, 0:1] = lse_ref[0][:, h : h + 1]
+                f32_scr[rows, 1:2] = dcol_ref[0][:, h : h + 1]
+            qs = op_scr[:, 0:hd]
+            dog = op_scr[:, hd : 2 * hd]
+            s = _mm(qs, kf, ((1,), (1,)))  # (gsz*T, T)
+            p = jnp.where(mask_p, jnp.exp(s - f32_scr[:, 0:1]), jnp.float32(0.0))
+            dp = _mm(dog, vf, ((1,), (1,)))  # (gsz*T, T)
+            ds = p * (dp - f32_scr[:, 1:2])
+            ds_op = ds.astype(kf.dtype)
+            dq = _mm(ds_op, kf, ((1,), (0,)))  # (gsz*T, hd)
+            for j in range(gsz):
+                h = g * gsz + j
+                rows = slice(j * t_pad, (j + 1) * t_pad)
+                dq_ref[0, :, h * hd : (h + 1) * hd] = (
+                    dq[rows] * scale
+                ).astype(dq_ref.dtype)
+            dv_g = _mm(p.astype(op_scr.dtype), dog, ((0,), (0,)))  # (T, hd), head-summed
+            dk_g = _mm(ds_op, op_scr[:, 2 * hd : 3 * hd], ((0,), (0,))) * scale
+            dk_acc = dk_g if dk_acc is None else dk_acc + dk_g
+            dv_acc = dv_g if dv_acc is None else dv_acc + dv_g
+        pad = dk_ref.shape[2] - hd
+        if pad:
+            zeros = jnp.zeros((dk_acc.shape[0], pad), jnp.float32)
+            dk_acc = jnp.concatenate([dk_acc, zeros], axis=1)
+            dv_acc = jnp.concatenate([dv_acc, zeros], axis=1)
+        dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+        return
 
     dk_acc = None
     dv_acc = None
@@ -814,9 +955,10 @@ def _fused_fwd_impl(q, k, v, n_head, causal, tile, interpret):
         return o_pad, lse, (q, k, v, hd, kvh, t_pad, qc_pad, kc_pad, kc_size)
 
     grid = (b, t_pad // tile)
+    gsz = _head_group(n_head, tile, kc_size, hd) if (kvh == 1 and _PACK_FWD) else 1
     kernel = functools.partial(
         _fwd_kernel, n_head=n_head, hd=hd, kvh=kvh, tile_q=tile,
-        seq_len=t, causal=causal,
+        seq_len=t, causal=causal, gsz=gsz,
     )
     o_pad, lse = pl.pallas_call(
         kernel,
@@ -831,6 +973,9 @@ def _fused_fwd_impl(q, k, v, n_head, causal, tile, interpret):
             _block_full(kc_pad, t_pad),
         ],
         out_specs=(_block2(qc_pad, tile), _block2(lse_lanes, tile)),
+        scratch_shapes=(
+            [pltpu.VMEM((gsz * tile, _LANE), k.dtype)] if gsz > 1 else []
+        ),
         cost_estimate=cost,
         interpret=interpret,
     )(q, k, v)
@@ -844,7 +989,7 @@ def _interpret_default(interpret: Optional[bool]) -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def fused_flash_attention(
+def _fused_flash_core(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
@@ -902,9 +1047,10 @@ def _fused_vjp_bwd(n_head, causal, tile, interpret, res, g):
     if t_pad == tile and t_pad <= kc_size:
         # whole sequence in one q tile: a single kernel produces dq+dk+dv,
         # sharing the s/p recomputation and one set of input DMAs
+        gsz = _head_group(n_head, t_pad, t_pad, hd) if (kvh == 1 and _PACK_BWD) else 1
         fused_kernel = functools.partial(
             _bwd_fused_kernel, n_head=n_head, hd=hd, kvh=kvh,
-            seq_len=t, causal=causal,
+            seq_len=t, causal=causal, gsz=gsz,
         )
         dq_pad, dk_pad, dv_pad = pl.pallas_call(
             fused_kernel,
@@ -926,6 +1072,14 @@ def _fused_vjp_bwd(n_head, causal, tile, interpret, res, g):
                 _block_full(qc_pad, t_pad),
                 _block_full(kc_pad, t_pad),
                 _block_full(kc_pad, t_pad),
+            ),
+            scratch_shapes=(
+                [
+                    pltpu.VMEM((gsz * t_pad, _LANE), kp.dtype),
+                    pltpu.VMEM((gsz * t_pad, _LANE), jnp.float32),
+                ]
+                if gsz > 1
+                else []
             ),
             interpret=interpret_,
         )(qp, kp, vp, g_pad, lse, dcol)
@@ -1044,7 +1198,53 @@ def _fused_vjp_bwd(n_head, causal, tile, interpret, res, g):
     return dq, dk, dv
 
 
-fused_flash_attention.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+_fused_flash_core.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+# Mosaic compiles at most ~16 packed MQA heads of single-tile kernel code in
+# one program (measured: 24+ heads of the packed fwd fail on this build with
+# no diagnostic; 16 compile). Above that, split the call into independent
+# head-slice calls: q/o are lane slices (no relayout — heads live in lanes),
+# K/V are shared and re-DMA'd per call (~2 MB at the LTHM shape), and
+# autodiff sums the per-call dK/dV contributions in XLA f32.
+_SPLIT_HEADS = 16
+
+
+def fused_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_head: int,
+    causal: bool = True,
+    tile: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Folded-head flash attention.
+
+    q: (B, T, n_head*hd) — natural projection layout, heads in lanes.
+    k, v: (B, T, hd) for MQA or (B, T, n_head*hd) for MHA.
+    Returns (B, T, n_head*hd) in q's dtype. Differentiable wrt q/k/v.
+    """
+    b, t, qc = q.shape
+    hd = qc // n_head
+    mqa = k.shape[-1] == hd
+    eff_tile = _resolve_tile(t, tile)
+    if (
+        mqa
+        and (_PACK_FWD or _PACK_BWD)
+        and n_head > _SPLIT_HEADS
+        and n_head % _SPLIT_HEADS == 0
+        and t <= 384  # single-tile zone: the packed kernels engage
+        and _head_group(_SPLIT_HEADS, eff_tile, _ceil_to(max(t, eff_tile), eff_tile), hd) > 1
+    ):
+        w = _SPLIT_HEADS * hd
+        parts = [
+            _fused_flash_core(
+                q[:, :, i * w : (i + 1) * w], k, v, _SPLIT_HEADS, causal, tile, interpret
+            )
+            for i in range(n_head // _SPLIT_HEADS)
+        ]
+        return jnp.concatenate(parts, axis=-1)
+    return _fused_flash_core(q, k, v, n_head, causal, tile, interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -209,3 +209,32 @@ def test_fused_grid_path_seq1024_wide_chunk():
             np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4,
             err_msg=f"grad mismatch for {name}",
         )
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_packed_mqa_paths_match_dense(causal, monkeypatch):
+    """The flag-gated MQA head-packed kernels (measured slower on v5e,
+    kept for the record — ops/fused_attention.py module comment) must stay
+    numerically correct: forward, backward, and the >16-head split path."""
+    import recommendations_tpu.ops.fused_attention as fa
+
+    monkeypatch.setattr(fa, "_PACK_FWD", True)
+    monkeypatch.setattr(fa, "_PACK_BWD", True)
+    b, t, n_head, hd = 2, 48, 32, 4  # 32 heads: exercises the 16-head split
+    q, k, v = _make(b, t, n_head, hd, 1, seed=7)
+    got = fa.fused_flash_attention(q, k, v, n_head, causal, None, True)
+    want = _dense_folded(q, k, v, n_head, causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+    cot = jax.random.normal(jax.random.PRNGKey(9), got.shape, jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fa.fused_flash_attention(q, k, v, n_head, causal, None, True) * cot)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense_folded(q, k, v, n_head, causal) * cot)
+
+    got_g = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    want_g = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got_g, want_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4)
