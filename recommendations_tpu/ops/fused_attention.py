@@ -146,8 +146,10 @@ def _packed_mask(gsz: int, tile_q: int, cols: int, row0, seq_len: int, causal: b
 # Causal masking clamps the K/V block index map so fully-masked chunks
 # re-reference the resident block (no DMA) and skip compute.
 # Measured fwd+bwd vs XLA at LTHM shape (B=16, 32 heads x hd=16, MQA,
-# v5e via tunnel, tools_bench_attention.py): seq 512 3.55 vs 4.28 ms,
-# seq 1024 9.16 vs 14.17 ms, seq 2048 27.45 vs 69.21 ms — fused wins at
+# v5e, tools_bench_attention.py chained in-program clock — the python
+# dispatch loop inflates sub-ms calls ~2.4x with tunnel latency):
+# seq 265 0.96 vs 1.11 ms, seq 512 2.49 vs 3.32 ms,
+# seq 1024 8.37 vs 13.54 ms, seq 2048 27.05 vs 70.39 ms — fused wins at
 # every measured length; the cap below is a VMEM-residency bound for the
 # per-(b,tile) scratch, not a perf crossover.
 RECOMMENDED_MAX_SEQ = 4096
